@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import youtube_data_lakehouse_and_analysis_spark.plans  # noqa: F401 — registers all query modules
 from youtube_data_lakehouse_and_analysis_spark.plans.queries import ORACLE, QUERIES
 
 

@@ -9,24 +9,30 @@ import math
 
 
 def canon(v):
+    # Tag every value so sort keys are totally ordered even when a column
+    # mixes NULLs with values (e.g. ROLLUP grouping keys).
+    if v is None:
+        return ("0none",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, str):
+        return ("s", v)
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return ("ts", v.isoformat())
     if isinstance(v, dt.date):
         return ("date", v.isoformat())
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
     if isinstance(v, (list, tuple)):
         return ("arr", tuple(canon(x) for x in v))
     if isinstance(v, dict):
         return ("map", tuple(sorted((k, canon(x)) for k, x in v.items())))
     if isinstance(v, bytes):
         return ("bin", v)
-    if v is None or isinstance(v, (int, str, bool)):
-        return v
     return ("other", str(v))
 
 

