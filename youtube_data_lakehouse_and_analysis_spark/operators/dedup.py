@@ -1,0 +1,156 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+MinHash(+LSH), SimHash, and n-gram Jaccard — all as compositions of
+built-in DataFrame ops (no Python UDFs; every hash is md5-based so the
+DuckDB oracle can reproduce it, see functions/text.py).
+
+Scale design (100 TB):
+  * exact dedup — one hash-shuffle on a 16-byte key; the canonical-id
+    aggregate is map-side combinable.
+  * MinHash+LSH — signatures are |docs|×num_hashes rows (explode + partial
+    min-agg keeps the shuffle at signature size, not shingle size);
+    candidate generation joins on (band, band_key) buckets, so cost is
+    bucket-local and never quadratic in |docs|.
+  * n-gram Jaccard — the shingle self-join IS quadratic in colliding docs;
+    it is the verification stage applied to LSH candidates (or small data),
+    never the discovery stage at scale.
+  * SimHash — linear: explode tokens × bit positions, two partial-agg
+    shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import md5_keyed, md5_prefix_long, normalize_text, tokens, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by md5 of normalized text; one row per distinct
+    content with the canonical (min) id and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — distinct word k-grams per document."""
+    return docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Long-form MinHash: (doc_id, seed, minhash) with minhash =
+    min over shingles of md5(seed || '|' || shingle).
+
+    The explode-then-min shape lets Spark partial-aggregate map-side, so
+    the shuffle carries |docs|×num_hashes rows, not |shingles|×num_hashes."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select(F.col(id_col), F.col("shingle"), seeds)
+        .groupBy(id_col, "seed")
+        .agg(F.min(md5_keyed(F.col("seed"), F.col("shingle"))).alias("minhash"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's minhashes in seed
+    order. Docs sharing a band_key agree on all rows of that band."""
+    return (
+        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing ≥1 LSH bucket (doc_a < doc_b).
+
+    Scale: the self-join is on (band, band_key) — bucket-local; skewed
+    buckets (boilerplate text) are the known hazard, handled by AQE skew
+    splitting and, at the extreme, by capping bucket width upstream."""
+    a = band_keys.select(
+        F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), F.col("band_key").alias("key_a")
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_key").alias("key_b")
+    )
+    return (
+        a.join(
+            b,
+            on=(a["band_a"] == b["band_b"]) & (a["key_a"] == b["key_b"]) & (a["doc_a"] < b["doc_b"]),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) — integer counts, one double
+    division, so the value is engine-exact."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on=["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token hashes
+    (tokens weighted by multiplicity). Integer-only math → portable."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", md5_prefix_long(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    # SQL-expr form: the pyspark shiftright/shiftleft wrappers only accept a
+    # Python-int shift, but the underlying SQL expressions take columns.
+    votes = (
+        tok.select(F.col(id_col), F.col("h"), bit)
+        .groupBy(id_col, "b")
+        .agg(F.sum(F.expr("(shiftright(h, cast(b AS INT)) & 1) * 2 - 1")).alias("vote"))
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("vote") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("shiftleft(cast(bit AS BIGINT), cast(b AS INT))")).alias("simhash"))
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism design: embeddings are quantized to integers
+(round(x*1000) as bigint), so dot products and norms are exact integer
+sums — order-independent and identical on Spark and DuckDB; the final
+cosine is one double division + sqrt (IEEE-exact), so rankings agree
+bit-for-bit. At 100 TB the same shapes run un-quantized with float math
+(ranking tolerance replaces exact equality).
+
+Two paths:
+  * brute force — broadcast the (small) query set, crossJoin, exact top-k:
+    the correctness baseline; cost |Q|×|C|.
+  * random-hyperplane LSH — deterministic ±1 hyperplanes derived from md5
+    (computed driver-side, embedded as literals in both engines), bucket
+    join then exact rerank: the scale path; cost ~|Q|×bucket_width.
+
+All vector math is built-in (transform/zip_with/aggregate) — no UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantize(col: Column | str, scale: int = 1000) -> Column:
+    """array<float> → array<bigint> via round(x*scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def int_norm_sq(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
+    """cos = dot / (sqrt(na)*sqrt(nb)) — one double op chain, engine-exact."""
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every row matching query_pred.
+
+    Scale: queries are broadcast (small side); candidates stream — one pass
+    over the corpus, top-k kept per query via window (at extreme |Q| use a
+    bounded-heap aggregator instead)."""
+    base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "nsq", int_norm_sq(F.col("qv"))
+    )
+    q = (
+        base.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("q_vec"), F.col("nsq").alias("q_nsq")
+        )
+    )
+    c = base.select(
+        F.col(id_col).alias("cand_id"), F.col("qv").alias("c_vec"), F.col("nsq").alias("c_nsq")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        cosine_from_ints(int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+def hyperplane_signs(num_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity — identical
+    constants are embedded in the Spark plan and the SQL oracle."""
+    return [
+        [1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1 for d in range(dims)]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket(vec_q: Column, signs: list[list[int]]) -> Column:
+    """Bucket id: bit p = (vec · hyperplane_p >= 0), packed little-endian."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(signs):
+        plane = F.array(*[F.lit(s) for s in row])
+        proj = int_dot(vec_q, plane.cast("array<long>"))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    signs: list[list[int]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: bucket by random hyperplanes, exact-rerank within the bucket.
+
+    Scale: the bucket equi-join replaces the crossJoin — each query only
+    scores candidates in its own bucket (expected |C|/2^planes). Recall is
+    tunable via multi-probe/bands; this is the single-table variant."""
+    base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "nsq", int_norm_sq(F.col("qv"))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), signs))
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qv").alias("c_vec"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, on=q["q_bucket"] == c["c_bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        cosine_from_ints(int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )

@@ -1,1 +1,1 @@
-from . import olap, queries, scalar  # noqa: F401
+from . import dedup, multimodal, olap, queries, scalar, similarity, text_analysis  # noqa: F401

@@ -1,0 +1,127 @@
+"""Deduplication queries (dd-series) over the `documents` table, each with
+a DuckDB oracle that reproduces the md5-based hashing exactly (see
+functions/text.py for the portability design).
+
+Shared SQL fragments mirror functions/text.py::normalize_text / tokens /
+word_shingles and operators/dedup.py shapes 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..functions.text import sql_md5_prefix_long
+from ..operators import dedup as D
+from .queries import query
+
+# DuckDB twins of normalize_text / tokens / word_shingles(k=3)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS_CTE = f"""
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+)"""
+_SHING_CTE = f"""{_TOKS_CTE},
+shing AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM norm
+)"""
+_SIG_CTE = f"""{_SHING_CTE},
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shing CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+  GROUP BY doc_id, seed
+)"""
+
+
+@query(
+    "dd01_exact_dedup",
+    f"""SELECT md5({_NORM}) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY md5({_NORM})""",
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy; the 100 TB workhorse)."""
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd02_minhash_signatures",
+    f"""WITH {_SIG_CTE}
+        SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash FROM sig""",
+)
+def dd02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form MinHash signatures (16 hashes/doc) — the building block of
+    fuzzy dedup, oracle-reproducible because the hash family is keyed md5."""
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=16)
+    return sigs.withColumn("seed", sigs["seed"].cast("long"))
+
+
+@query(
+    "dd03_lsh_candidate_pairs",
+    f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id""",
+)
+def dd03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands × 4 rows. Bucket-join — the
+    scale path that avoids the quadratic all-pairs comparison."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    return D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+
+
+@query(
+    "dd04_jaccard_pairs",
+    f"""WITH {_SHING_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.02""",
+)
+def dd04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity ≥ 0.02 over pairs sharing a shingle
+    — the verification stage for LSH candidates (quadratic; never the
+    discovery stage at 100 TB)."""
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.02)
+
+
+@query(
+    "dd05_simhash",
+    f"""WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM norm),
+        toksh AS (SELECT doc_id, {sql_md5_prefix_long('tok')} AS h FROM tok),
+        votes AS (
+          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS vote
+          FROM toksh CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id""",
+)
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-multiplicity majority vote);
+    near-dups differ in few bits. Integer-only math → portable oracle."""
+    return D.simhash(load(spark, sf_dir, "documents"), bits=32)

@@ -1,0 +1,147 @@
+"""Similarity-search queries (sim-series) over the `embeddings` table
+(vec_id, embedding array<float> 64-dim, label), with DuckDB oracles.
+
+Query set: vec_id % 50 == 0. Quantized-integer vector math makes cosine
+values bit-identical across engines (operators/similarity.py docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import similarity as S
+from .queries import query
+
+_DIMS = 64
+_PLANES = 8
+_SIGNS = S.hyperplane_signs(_PLANES, _DIMS)
+
+# DuckDB fragments -----------------------------------------------------------
+
+_QUANT = """
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+withnorm AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+  FROM base
+)"""
+
+
+def _sql_signs_list(p: int) -> str:
+    return "[" + ", ".join(str(s) for s in _SIGNS[p]) + "]"
+
+
+def _sql_bucket_expr() -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> qv[i] * ({_sql_signs_list(p)})[i])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sim01_bruteforce_topk",
+    f"""WITH {_QUANT},
+        q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
+              FROM withnorm WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq FROM withnorm),
+        scored AS (
+          SELECT query_id, cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                 / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
+          FROM q CROSS JOIN c WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5""",
+)
+def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per query vector — the correctness
+    baseline for ANN (broadcast crossJoin; |Q|×|C| cost)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+@query(
+    "sim02_lsh_ann_topk",
+    f"""WITH {_QUANT},
+        bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
+        q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq, bucket
+              FROM bucketed WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq, bucket FROM bucketed),
+        scored AS (
+          SELECT query_id, cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                 / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
+          FROM q JOIN c USING (bucket) WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rn
+          FROM scored) t
+        WHERE rn <= 3""",
+)
+def sim02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via 8 deterministic random hyperplanes (256 buckets) +
+    exact rerank — the 100 TB scale path (bucket join, no crossJoin)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, F.col("vec_id") % 50 == 0, _SIGNS, k=3)
+
+
+@query(
+    "sim03_pairwise_label_stats",
+    f"""WITH {_QUANT},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 la.label AS label_a, lb.label AS label_b,
+                 CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                 / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+          FROM withnorm a JOIN withnorm b ON a.vec_id < b.vec_id
+          JOIN lab la ON la.vec_id = a.vec_id
+          JOIN lab lb ON lb.vec_id = b.vec_id
+          WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+        )
+        SELECT CASE WHEN label_a = label_b THEN 1 ELSE 0 END AS same_label,
+               COUNT(*) AS n_pairs,
+               MAX(cosine) AS max_cos, MIN(cosine) AS min_cos
+        FROM pairs GROUP BY same_label""",
+)
+def sim03_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity: cosine range within vs across labels over a
+    sampled pair set (MIN/MAX are order-independent → oracle-safe)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "label", S.quantize("embedding").alias("qv"))
+        .withColumn("nsq", S.int_norm_sq(F.col("qv")))
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("qv").alias("qv_a"), F.col("nsq").alias("nsq_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("qv").alias("qv_b"), F.col("nsq").alias("nsq_b"),
+    )
+    pairs = a.join(b, on=a["id_a"] < b["id_b"]).withColumn(
+        "cosine",
+        S.cosine_from_ints(S.int_dot(F.col("qv_a"), F.col("qv_b")), F.col("nsq_a"), F.col("nsq_b")),
+    )
+    return (
+        pairs.withColumn("same_label", F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0))
+        .groupBy("same_label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("cosine").alias("max_cos"),
+            F.min("cosine").alias("min_cos"),
+        )
+    )

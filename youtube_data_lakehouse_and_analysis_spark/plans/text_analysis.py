@@ -1,0 +1,169 @@
+"""Text-analysis queries (ta-series) over `documents`: token statistics,
+quality scoring, language-ID heuristic, document fingerprinting — the text
+half of an LLM-data curation pipeline, all as built-in column expressions
+with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import normalize_text, tokens
+from .queries import query
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+
+# tiny stopword profiles for the language-ID heuristic (n-gram/stopword
+# scoring — a deterministic, SQL-expressible proxy for real lang-ID)
+_PROFILES = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "ta01_token_stats",
+    f"""SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               length(text) AS n_chars_raw,
+               n_chars,
+               CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1) AS avg_token_len,
+               len(regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_pieces
+        FROM documents""",
+)
+def ta01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / single symbols), plus mean token length."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+        "n_chars",
+        (
+            F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x).cast("double")
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(normalize_text("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_pieces"
+        ),
+    )
+
+
+@query(
+    "ta02_quality_score",
+    f"""WITH stats AS (
+          SELECT doc_id,
+                 len({_TOKS}) AS n_tokens,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_sql_list(_PROFILES["en"])}, x))) AS n_stop,
+                 len(regexp_extract_all({_NORM}, '[^a-z0-9 ]')) AS n_symbols,
+                 length({_NORM}) AS n_chars_norm
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+               CAST(n_symbols AS DOUBLE) / greatest(n_chars_norm, 1) AS symbol_ratio,
+               0.5 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+             + 0.3 * (1.0 - CAST(n_symbols AS DOUBLE) / greatest(n_chars_norm, 1))
+             + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+        FROM stats""",
+)
+def ta02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword density + symbol-noise penalty +
+    length prior — the standard cheap pre-filter before expensive model
+    scoring in a curation pipeline."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tokens = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*_PROFILES["en"])))
+    n_symbols = F.size(F.regexp_extract_all(normalize_text("text"), F.lit("[^a-z0-9 ]"), 0))
+    n_chars_norm = F.length(normalize_text("text"))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    sym_ratio = n_symbols.cast("double") / F.greatest(n_chars_norm, F.lit(1))
+    len_prior = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        sym_ratio.alias("symbol_ratio"),
+        (0.5 * stop_ratio + 0.3 * (1.0 - sym_ratio) + 0.2 * len_prior).alias("quality_score"),
+    )
+
+
+@query(
+    "ta03_langid",
+    f"""WITH scores AS (
+          SELECT doc_id, lang AS lang_declared,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["en"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS en_score,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["es"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS es_score,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["de"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS de_score
+          FROM documents)
+        SELECT doc_id, lang_declared, en_score, es_score, de_score,
+               CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+                    WHEN es_score >= de_score THEN 'es'
+                    ELSE 'de' END AS lang_pred
+        FROM scores""",
+)
+def ta03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic; argmax with
+    fixed en>es>de tie order). At scale the same shape works with char
+    n-gram profiles instead of stopword lists."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.greatest(F.size(t), F.lit(1))
+
+    def score(lang: str):
+        return F.size(F.filter(t, lambda x: x.isin(*_PROFILES[lang]))).cast("double") / n
+
+    en, es, de = score("en"), score("es"), score("de")
+    pred = (
+        F.when((en >= es) & (en >= de), "en").when(es >= de, "es").otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        en.alias("en_score"),
+        es.alias("es_score"),
+        de.alias("de_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "ta04_fingerprint",
+    f"""SELECT doc_id,
+               md5(n) AS fp_md5,
+               (SELECT min(md5(substr(n, i, 8)))
+                FROM unnest(range(1, greatest(length(n) - 6, 2))) AS t(i)) AS fp_rolling_min
+        FROM (SELECT doc_id, {_NORM} AS n FROM documents) s""",
+)
+def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text md5 + winnowing-style minimum over
+    rolling 8-char gram hashes (robust to local edits)."""
+    d = load(spark, sf_dir, "documents")
+    # Column.substr accepts column start positions (F.substring does not),
+    # so materialize the normalized text as a named column first.
+    d2 = d.withColumn("n", normalize_text("text"))
+    return d2.select(
+        "doc_id",
+        F.md5("n").alias("fp_md5"),
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("n") - 6 - 1, F.lit(1))),
+                lambda i: F.md5(F.expr("n").substr(i, F.lit(8))),
+            )
+        ).alias("fp_rolling_min"),
+    )
