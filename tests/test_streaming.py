@@ -1,0 +1,71 @@
+"""Structured Streaming tests: the same transforms run in stream mode
+(file source → memory sink, driven to completion) must agree with their
+batch-mode results, watermarks must drop late data, and streaming dedup
+must collapse duplicates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from youtube_data_lakehouse_and_analysis_spark.catalog import load
+from youtube_data_lakehouse_and_analysis_spark.streaming.windows import (
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    run_to_memory(tumbling_counts(stream), "tumbling_out", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = tumbling_counts(load(spark, SF_DIR, "events"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows_run(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(session_windows(stream), "session_out", output_mode="complete")
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert rows
+    batch_n = session_windows(load(spark, SF_DIR, "events")).count()
+    assert len(rows) == batch_n
+
+
+def test_streaming_dedup(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (1, base, 10, "click", 1.0, "{}"),  # exact duplicate
+        (2, base + dt.timedelta(minutes=1), 11, "view", 2.0, "{}"),
+    ]
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    run_to_memory(dedup_stream(stream), "dedup_out")
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_watermark_attached_to_plan(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    agg = tumbling_counts(stream, watermark="7 minutes")
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "7 minutes" in plan

@@ -1,1 +1,10 @@
-from . import dedup, multimodal, olap, queries, scalar, similarity, text_analysis  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    olap,
+    queries,
+    scalar,
+    similarity,
+    streaming_q,
+    text_analysis,
+)

@@ -1,0 +1,66 @@
+"""Streaming-semantics queries (st-series): the same window transforms the
+streaming slice uses (streaming/windows.py), run in batch mode against
+`events` and oracle-checked — tumbling via time_bucket, sliding via
+explicit window enumeration, sessions via the SQL islands pattern.
+
+(Spark's 5-minute windows are epoch-aligned; DuckDB's time_bucket origin
+2000-01-01 is also midnight-aligned, so sub-day buckets agree.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+from .queries import query
+
+
+@query(
+    "st01_tumbling_counts",
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+              time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+              event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY 1, 2, 3""",
+)
+def st01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows — the core streaming aggregate, batch-run."""
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "st02_sliding_counts",
+    """SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS window_start,
+              event_type, COUNT(*) AS n
+       FROM events CROSS JOIN (SELECT unnest(range(5)) AS k) offsets
+       GROUP BY 1, 2""",
+)
+def st02_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (5 min / 1 min): every event contributes to the 5
+    slide-aligned windows that contain it — the oracle enumerates them."""
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "st03_session_windows",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL '10 minutes'
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       numbered AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged)
+       SELECT MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL '10 minutes' AS session_end,
+              user_id, COUNT(*) AS n_events
+       FROM numbered GROUP BY user_id, session_id""",
+)
+def st03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user — Spark's session_window
+    vs the classic SQL gaps-and-islands formulation."""
+    return session_windows(load(spark, sf_dir, "events"))

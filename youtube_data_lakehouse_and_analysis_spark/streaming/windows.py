@@ -1,0 +1,117 @@
+"""Structured Streaming slice (SURVEY.md §2.10 — an extension; the
+reference is purely batch): tumbling / sliding / session windows with
+watermarks, and streaming dedup, over the `events` schema.
+
+Every transformation is defined once and works on BOTH a batch DataFrame
+and a readStream DataFrame (the Structured Streaming model: one API, two
+execution modes). Batch mode powers the DuckDB oracle checks; stream mode
+is exercised in tests via the file source → memory sink with
+processAllAvailable().
+
+Scale notes: watermark + windowed agg is incremental state in the state
+store — state size is |open windows × keys|, bounded by the watermark
+horizon; session windows merge state per key; dropDuplicates state is
+bounded by the watermark when a ts column is included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling windows: count + exact-decimal value sum per (window,
+    event_type). Late rows beyond the watermark are dropped in stream
+    mode; batch mode sees all rows (same code path)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "5 minutes", slide: str = "1 minute") -> DataFrame:
+    """Sliding windows (width 5, slide 1): each event lands in 5 windows."""
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events closer than `gap` merge; session
+    end = last event + gap (Spark session_window semantics)."""
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on event_id: with the ts column included, state is
+    purged past the watermark (bounded memory at 100 TB/day rates)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id", "ts"])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as raw nanos
+    INT64 under nanosAsLong, converted to the micros timestamp here —
+    mirrors catalog.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA.fields]
+    )
+    return (
+        spark.readStream.schema(nanos_schema)
+        # the file source needs a directory; glob down to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion synchronously (test harness):
+    memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
