@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import md5_keyed, md5_prefix_long, normalize_text, tokens, word_shingles
+from ..functions.text import md5_prefix_long, normalize_text, tokens, word_shingles
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -36,26 +36,59 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Small-file inputs arrive as one split; shingling/hashing is
+    compute-bound, so spread rows across all cores first (the tiny shuffle
+    beats single-task execution ~10×; on a real cluster with many splits
+    this is a no-op cost-wise)."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) rows — distinct word k-grams per document."""
-    return docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+    return _spread(docs, id_col).select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+
+
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multiply-shift coefficients per hash, derived
+    from md5 so the SQL oracle can embed the identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:8], 16) % (MINHASH_MOD - 1) + 1
+        b = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:8], 16) % MINHASH_MOD
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Long-form MinHash: (doc_id, seed, minhash) with minhash =
-    min over shingles of md5(seed || '|' || shingle).
+    """Long-form MinHash: (doc_id, seed, minhash) where minhash_i =
+    min over shingles of ((a_i * h + b_i) mod 2^31-1), h = base md5 hash
+    of the shingle.
 
-    The explode-then-min shape lets Spark partial-aggregate map-side, so
-    the shuffle carries |docs|×num_hashes rows, not |shingles|×num_hashes."""
+    Perf shape: ONE md5 per shingle (not num_hashes), then num_hashes
+    integer mixes evaluated as parallel MIN aggregates in a single
+    hash-aggregate pass — no row explosion, one shuffle of |docs| rows ×
+    num_hashes columns, unpivoted to long form afterwards."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .groupBy(id_col, "seed")
-        .agg(F.min(md5_keyed(F.col("seed"), F.col("shingle"))).alias("minhash"))
-    )
+    h = md5_prefix_long(F.col("shingle"), 15) % MINHASH_MOD
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    wide = sh.withColumn("h", h).groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
+    ).withColumn("seed", F.col("seed").cast("long"))
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4, id_col: str = "doc_id") -> DataFrame:
@@ -69,7 +102,7 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4, id_col: str = "
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                     ",",
                 )
@@ -139,7 +172,7 @@ def jaccard_pairs(
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over token hashes
     (tokens weighted by multiplicity). Integer-only math → portable."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _spread(docs, id_col).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", md5_prefix_long(F.col("tok")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     # SQL-expr form: the pyspark shiftright/shiftleft wrappers only accept a

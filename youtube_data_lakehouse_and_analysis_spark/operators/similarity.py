@@ -57,29 +57,47 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every row matching query_pred.
 
-    Scale: queries are broadcast (small side); candidates stream — one pass
-    over the corpus, top-k kept per query via window (at extreme |Q| use a
-    bounded-heap aggregator instead)."""
+    Execution: the query matrix (small by contract) ships to executors in
+    the task closure; candidates stream through mapInPandas where the
+    |batch|×|Q| dot-product block is one int64 numpy matmul — exact, so
+    results are bit-identical to the expression form and the SQL oracle
+    (int dots < 2^53; sqrt/div are IEEE ops; fp multiply is commutative).
+    A per-query top-k window trims the |C|×|Q| pair stream.
+
+    Scale: one pass over the corpus; vectorized compute; the pair stream —
+    not the vectors — shuffles for the window. For |Q| beyond closure
+    size, switch to the LSH path (lsh_topk)."""
+    import numpy as np
+    import pandas as pd
+
     base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
         "nsq", int_norm_sq(F.col("qv"))
     )
-    q = (
-        base.filter(query_pred)
-        .select(
-            F.col(id_col).alias("query_id"), F.col("qv").alias("q_vec"), F.col("nsq").alias("q_nsq")
-        )
-    )
-    c = base.select(
-        F.col(id_col).alias("cand_id"), F.col("qv").alias("c_vec"), F.col("nsq").alias("c_nsq")
-    )
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
-    scored = pairs.withColumn(
-        "cosine",
-        cosine_from_ints(int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")),
-    )
+    qrows = base.filter(query_pred).collect()
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def score(it):
+        for pdf in it:
+            C = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = (C @ Q.T).astype(np.float64) / (c_norm[:, None] * q_norm[None, :])
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
+                    "cand_id": np.repeat(c_ids, m),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    pairs = base.mapInPandas(score, schema="query_id long, cand_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pairs.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine")
     )

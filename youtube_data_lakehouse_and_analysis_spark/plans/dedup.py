@@ -32,12 +32,25 @@ shing AS (
                      ELSE [array_to_string(toks, ' ')] END) AS shingle
   FROM norm
 )"""
-_SIG_CTE = f"""{_SHING_CTE},
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-  FROM shing CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-  GROUP BY doc_id, seed
-)"""
+def _sig_cte() -> str:
+    """DuckDB twin of operators/dedup.minhash_signatures: one md5-prefix
+    base hash per shingle, 16 multiply-shift mixes (identical literals)."""
+    from ..functions.text import sql_md5_prefix_long
+    from ..operators.dedup import MINHASH_MOD, minhash_coeffs
+
+    mixes = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({i} AS BIGINT) AS seed, "
+        f"min(({a} * h + {b}) % {MINHASH_MOD}) AS minhash FROM hashed GROUP BY doc_id"
+        for i, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    return f"""{_SHING_CTE},
+hashed AS (
+  SELECT doc_id, {sql_md5_prefix_long('shingle', 15)} % {MINHASH_MOD} AS h FROM shing
+),
+sig AS ({mixes})"""
+
+
+_SIG_CTE = _sig_cte()
 
 
 @query(
