@@ -1,0 +1,68 @@
+"""Unit tests for the as-of join operator and the custom stateful
+streaming operator (beyond the oracle checks in test_queries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from youtube_data_lakehouse_and_analysis_spark.operators.asof import asof_join
+from youtube_data_lakehouse_and_analysis_spark.streaming.stateful import running_user_totals
+from youtube_data_lakehouse_and_analysis_spark.streaming.windows import run_to_memory
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_matches_merge_asof(spark):
+    left_rows = [(1, _ts(5)), (1, _ts(10)), (1, _ts(2)), (2, _ts(7))]
+    right_rows = [(1, _ts(3), 100.0), (1, _ts(10), 200.0), (2, _ts(9), 300.0)]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, px double")
+    got = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["px"])
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["px"]).collect()
+    }
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "px"]).sort_values("ts")
+    want_pd = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward", suffixes=("", "_r"))
+    for _, row in want_pd.iterrows():
+        asof_ts, px = got[(row["k"], row["ts"].to_pydatetime())]
+        if pd.isna(row["px"]):
+            assert px is None and asof_ts is None
+        else:
+            assert px == row["px"]
+    # tie at ts=10 matches the simultaneous right row (ASOF <= semantics)
+    assert got[(1, _ts(10))] == (_ts(10), 200.0)
+    # left row before any right row → null match
+    assert got[(1, _ts(2))] == (None, None)
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(30))], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(5), 1.0)], "k long, ts timestamp, px double")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["px"], tolerance="10 minutes"
+    ).collect()[0]
+    assert out["px"] is None and out["asof_ts"] is None  # 25 min old > 10 min tolerance
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    rows = [
+        (1, _ts(0), 10, "click", 1.5, "{}"),
+        (2, _ts(1), 10, "view", 2.5, "{}"),
+        (3, _ts(2), 11, "click", 4.0, "{}"),
+    ]
+    src = str(tmp_path / "ev")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_to_memory(running_user_totals(stream), "stateful_out", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events_total"], r["value_total"])
+        for r in spark.sql("SELECT * FROM stateful_out").collect()
+    }
+    assert got == {10: (2, 4.0), 11: (1, 4.0)}
