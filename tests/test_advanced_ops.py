@@ -66,3 +66,44 @@ def test_stateful_running_totals(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stateful_out").collect()
     }
     assert got == {10: (2, 4.0), 11: (1, 4.0)}
+
+
+def test_range_join_matches_naive(spark):
+    from youtube_data_lakehouse_and_analysis_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 19.99, 20.0, 55.5, 399.9, 500.0])],
+        "pid long, x double",
+    )
+    iv = spark.createDataFrame(
+        [(j, j * 15.0, j * 15.0 + 40.0) for j in range(25)], "band long, lo double, hi double"
+    )
+    got = {
+        (r["pid"], r["band"])
+        for r in range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi", bucket_width=20.0).collect()
+    }
+    want = {
+        (r["pid"], r["band"])
+        for r in pts.crossJoin(iv).filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))).collect()
+    }
+    assert got == want and len(got) > 0
+    # point outside every interval drops on inner...
+    assert not any(p == 6 for p, _ in got)
+    # ...but survives left_outer with null band
+    lo = range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi", bucket_width=20.0, how="left_outer")
+    assert [r["band"] for r in lo.filter(F.col("pid") == 6).collect()] == [None]
+
+
+def test_near_dup_pairs_semantics(spark):
+    from youtube_data_lakehouse_and_analysis_spark.operators.similarity import near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),   # near-dup of 1, same cell
+        (3, [0.0, 1.0, 0.0, 0.0], 0),      # orthogonal, same cell
+        (4, [1.0, 0.0, 0.0, 0.0], 1),      # identical to 1 but other cell -> blocked
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = near_dup_pairs(emb, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["keep_id"], r["drop_id"]) for r in out] == [(1, 2, 1, 2)]
+    assert out[0]["cosine"] > 0.99

@@ -103,6 +103,57 @@ def brute_force_topk(
     )
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SemDeDup-style): pairs within
+    the same cell with cosine >= threshold, plus the keep/drop verdict
+    (canonical = lowest id in the pair).
+
+    The cell column is the blocking key — here a precomputed cluster label
+    (in production: k-means/IVF cell id). Pairwise comparison runs only
+    inside a cell, turning the O(n²) all-pairs scan into Σ|cell|²; cells
+    shuffle-partition independently, so 100 TB of vectors dedups as long
+    as single cells fit a partition (else: re-cluster finer or sub-block
+    with LSH inside the cell)."""
+    base = emb.select(
+        F.col(cell_col).alias("_cell"), F.col(id_col), quantize(vec_col).alias("qv")
+    ).withColumn("nsq", int_norm_sq(F.col("qv")))
+    a = base.select(
+        "_cell",
+        F.col(id_col).alias("doc_a"),
+        F.col("qv").alias("a_vec"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    b = base.select(
+        "_cell",
+        F.col(id_col).alias("doc_b"),
+        F.col("qv").alias("b_vec"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    return (
+        a.join(b, on="_cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cosine",
+            cosine_from_ints(int_dot(F.col("a_vec"), F.col("b_vec")), F.col("a_nsq"), F.col("b_nsq")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("_cell").alias("cell"),
+            "doc_a",
+            "doc_b",
+            "cosine",
+            F.least("doc_a", "doc_b").alias("keep_id"),
+            F.greatest("doc_a", "doc_b").alias("drop_id"),
+        )
+    )
+
+
 def hyperplane_signs(num_planes: int, dims: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix from md5 parity — identical
     constants are embedded in the Spark plan and the SQL oracle."""

@@ -12,7 +12,8 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..operators.asof import asof_join
-from ..operators.similarity import int_dot, int_norm_sq, quantize
+from ..operators.rangejoin import range_join
+from ..operators.similarity import int_dot, int_norm_sq, near_dup_pairs, quantize
 from .queries import query
 
 
@@ -267,4 +268,65 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "cand_id", "cosine")
+    )
+
+
+@query(
+    "dd06_embedding_near_dup",
+    """WITH base AS (
+         SELECT label AS cell, vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings
+       ),
+       withnorm AS (
+         SELECT cell, vec_id, qv,
+                list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+         FROM base
+       )
+       SELECT a.cell, a.vec_id AS doc_a, b.vec_id AS doc_b,
+              CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+              / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine,
+              least(a.vec_id, b.vec_id) AS keep_id,
+              greatest(a.vec_id, b.vec_id) AS drop_id
+       FROM withnorm a JOIN withnorm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35""",
+)
+def dd06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (SemDeDup shape): exact pairwise cosine
+    inside each cluster cell only — the blocking that makes vector dedup
+    tractable at 100 TB (operators/similarity.py::near_dup_pairs)."""
+    return near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "rj01_range_join_agg",
+    """SELECT n_nationkey AS band, n_name AS band_name,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+       FROM events
+       JOIN nation ON value >= n_nationkey * 15.0 AND value < n_nationkey * 15.0 + 40.0
+       GROUP BY n_nationkey, n_name""",
+)
+def rj01_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): events fall into overlapping value
+    bands derived from nation. Bucketized rewrite (operators/rangejoin.py)
+    — point→1 bucket, interval→covered buckets, equi-join + exact
+    re-check — instead of the nested-loop plan a bare inequality join
+    gets. Decimal sum keeps the double aggregation order-independent for
+    the oracle."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band"),
+        F.col("n_name").alias("band_name"),
+        (F.col("n_nationkey") * 15.0).alias("lo"),
+        (F.col("n_nationkey") * 15.0 + 40.0).alias("hi"),
+    )
+    return (
+        range_join(ev, bands, point_col="value", lo_col="lo", hi_col="hi", bucket_width=20.0)
+        .groupBy("band", "band_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_total"),
+        )
     )
