@@ -107,3 +107,46 @@ def test_near_dup_pairs_semantics(spark):
     out = near_dup_pairs(emb, threshold=0.9).collect()
     assert [(r["doc_a"], r["doc_b"], r["keep_id"], r["drop_id"]) for r in out] == [(1, 2, 1, 2)]
     assert out[0]["cosine"] > 0.99
+
+
+def test_salted_join_equals_plain_join(spark):
+    from youtube_data_lakehouse_and_analysis_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for k in [1, 1, 1, 1, 1, 2, 3] for i in range(3)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unmatched")], "k long, tag string")
+    got = sorted((r["k"], r["payload"], r["tag"]) for r in salted_join(fact, dim, on="k", salt_buckets=4).collect())
+    want = sorted((r["k"], r["payload"], r["tag"]) for r in fact.join(dim, on="k").collect())
+    assert got == want
+    # left_outer keeps unmatched fact keys exactly once per fact row
+    lo = salted_join(fact, dim, on="k", salt_buckets=4, how="left_outer")
+    assert lo.count() == fact.count()
+    assert lo.filter(F.col("k") == 3).collect()[0]["tag"] is None
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from youtube_data_lakehouse_and_analysis_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("a", F.col("k") * 2)
+    right = spark.range(0, 500).withColumnRenamed("id", "k").withColumn("b", F.col("k") + 7)
+    write_bucketed(left, "bkt_left", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], num_buckets=4, sort_cols=["k"])
+    # at test scale the planner would broadcast (both tables are tiny);
+    # disable it so the plan shows the big-big bucketed sort-merge path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_left", "bkt_right", on=["k"])
+        assert joined.count() == 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: sort-merge join with NO exchange on either side
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

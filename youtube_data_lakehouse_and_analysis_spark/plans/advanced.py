@@ -330,3 +330,30 @@ def rj01_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_total"),
         )
     )
+
+
+@query(
+    "sj01_salted_join_agg",
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def sj01_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators/skew.py): the hot-key fix when
+    the dim can't broadcast — fact rows salt S ways, dim replicates S×,
+    result is row-identical to the plain join (the oracle's form)."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on="user_id", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_total"),
+        )
+    )
