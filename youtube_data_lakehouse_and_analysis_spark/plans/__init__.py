@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     olap,
+    timeseries,
     queries,
     scalar,
     similarity,

@@ -1,0 +1,175 @@
+"""Time-series & exact-statistics queries (ts/a-series extensions).
+
+Determinism design for the FP-sensitive aggregates: variance / stddev /
+correlation are NOT computed with the engines' native one-pass aggregates
+(whose summation order differs between Spark and DuckDB, perturbing the
+last ulps). Instead both sides reduce to EXACT integer sums (n, Σx, Σx²,
+Σxy over integral columns) and apply the identical closed-form double
+expression — one IEEE op chain, bit-identical results. At 100 TB the
+integer sums stay exact in 64 bits as long as Σx² < 2^63 (for l_quantity
+≤ 50: ~3.7e15 rows/group); past that, widen to decimal(38,0) sums.
+
+OHLC picks raw values (no arithmetic), so doubles compare exactly; the
+open/close tie-break is the total order (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .queries import query
+
+
+@query(
+    "ts01_hourly_gap_fill",
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+         FROM events GROUP BY event_type, date_trunc('hour', ts)
+       ),
+       spans AS (
+         SELECT event_type, MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly
+         GROUP BY event_type
+       ),
+       grid AS (
+         SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+         FROM spans
+       )
+       SELECT g.event_type, g.hour_start, COALESCE(h.n, 0) AS n
+       FROM grid g LEFT JOIN hourly h
+         ON g.event_type = h.event_type AND g.hour_start = h.hour_start""",
+)
+def ts01_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly counts per event_type: build the dense hour grid
+    with sequence+explode (both ends inclusive, matching generate_series),
+    left-join the sparse counts, zero-fill. The grid is |types| × |hours|
+    — generated, never shuffled at data scale; the counts aggregate
+    map-side before their one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start"),
+        )
+    )
+    return grid.join(hourly, on=["event_type", "hour_start"], how="left").select(
+        "event_type", "hour_start", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@query(
+    "ts02_daily_ohlc",
+    """WITH based AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+                ROW_NUMBER() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM events
+       )
+       SELECT event_type, day,
+              MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+              MAX(value) AS high, MIN(value) AS low,
+              MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+              COUNT(*) AS n_events
+       FROM based GROUP BY event_type, day""",
+)
+def ts02_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resample per event_type: open/close via min_by/max_by on
+    the total order (ts, event_id) — one hash aggregation, no window, no
+    second shuffle (the window form the oracle uses is the naive plan; the
+    min_by form is the scalable one)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "a09_exact_moments",
+    """WITH sums AS (
+         SELECT l_returnflag,
+                COUNT(*) AS n,
+                SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                SUM(CAST(l_linenumber AS BIGINT)) AS sy,
+                SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy,
+                SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy
+         FROM lineitem GROUP BY l_returnflag
+       )
+       SELECT l_returnflag, n,
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty,
+              sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty,
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_line
+       FROM sums""",
+)
+def a09_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation from exact integer sums (see
+    module docstring): the shuffle moves 6 longs per group, not raw rows —
+    the same partial-aggregation shape as any sum, at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.col("l_linenumber").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c).cast("double") for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    nm1 = (F.col("n") - 1).cast("double")
+    var = (n * sxx - sx * sx) / (n * nm1)
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return sums.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_line"),
+    )
+
+
+@query(
+    "a10_mode_per_user",
+    """SELECT user_id, event_type AS mode_event_type, n FROM (
+         SELECT user_id, event_type, COUNT(*) AS n,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+         FROM events GROUP BY user_id, event_type) t
+       WHERE rn = 1""",
+)
+def a10_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent event_type per user, ties broken
+    lexicographically (engines' native mode() tie-breaks are unspecified —
+    the count+rank form is the portable, scalable one: two stages, both
+    partial-aggregatable)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
