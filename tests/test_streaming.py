@@ -69,3 +69,41 @@ def test_watermark_attached_to_plan(spark):
     agg = tumbling_counts(stream, watermark="7 minutes")
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan and "7 minutes" in plan
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.joins import (
+        clicks_with_recent_purchases,
+    )
+    from youtube_data_lakehouse_and_analysis_spark.streaming.windows import run_to_memory
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m, 0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    clicks = [(1, ts(30), 7, "click", 0.0), (2, ts(30), 8, "click", 0.0)]
+    purchases = [
+        (10, ts(25), 7, "purchase", 9.5),   # within 2h lookback -> matches click 1
+        (11, ts(35), 7, "purchase", 1.0),   # after the click -> no match
+        (12, ts(25), 99, "purchase", 2.0),  # other user -> no match
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).write.parquet(pdir)
+    joined = clicks_with_recent_purchases(
+        spark.readStream.schema(schema).parquet(cdir),
+        spark.readStream.schema(schema).parquet(pdir),
+    )
+    assert joined.isStreaming
+    run_to_memory(joined, "ssj_out")
+    got = [tuple(r) for r in spark.sql("SELECT click_id, user_id, purchase_value FROM ssj_out").collect()]
+    assert got == [(1, 7, 9.5)]
+    # batch twin: same function, plain DataFrames, same semantics
+    b = clicks_with_recent_purchases(
+        spark.createDataFrame(clicks, schema), spark.createDataFrame(purchases, schema)
+    )
+    assert [tuple(r) for r in b.select("click_id", "user_id", "purchase_value").collect()] == [(1, 7, 9.5)]

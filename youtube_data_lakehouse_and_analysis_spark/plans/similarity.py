@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..operators import similarity as S
@@ -144,4 +145,72 @@ def sim03_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cosine").alias("max_cos"),
             F.min("cosine").alias("min_cos"),
         )
+    )
+
+
+@query(
+    "sim05_hybrid_filtered_ann",
+    """WITH docs AS (
+         SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+       ),
+       base AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings
+       ),
+       withnorm AS (
+         SELECT vec_id, qv,
+                list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+         FROM base
+       ),
+       cand AS (SELECT w.* FROM withnorm w JOIN docs d ON w.vec_id = d.doc_id),
+       q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
+             FROM withnorm WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.query_id, c.vec_id AS cand_id,
+                CAST(list_sum(list_transform(range(1, 65), i -> q.q_vec[i] * c.qv[i])) AS DOUBLE)
+                / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+         FROM q CROSS JOIN cand c WHERE c.vec_id <> q.query_id
+       )
+       SELECT query_id, cand_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+         FROM scored) t WHERE rn <= 3""",
+)
+def sim05_hybrid_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: metadata pre-filter (documents.lang/n_chars — the
+    pushed-down scan) joined to the vector side, then exact top-k cosine.
+    The RAG-pipeline shape: filter first, THEN rank — the filter join
+    shrinks the candidate set before any vector math. Queries broadcast;
+    at 100 TB the exact rank stage swaps for the LSH/IVF path (sim02/04)
+    over the same filtered candidates."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S.quantize("embedding").alias("qv")).withColumn(
+        "nsq", S.int_norm_sq(F.col("qv"))
+    )
+    cand = base.join(docs, base["vec_id"] == docs["doc_id"]).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_vec"), F.col("nsq").alias("c_nsq")
+    )
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_vec"), F.col("nsq").alias("q_nsq")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            S.cosine_from_ints(S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "cosine")
     )

@@ -64,3 +64,27 @@ def st03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user — Spark's session_window
     vs the classic SQL gaps-and-islands formulation."""
     return session_windows(load(spark, sf_dir, "events"))
+
+
+@query(
+    "evj01_interval_join",
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+              p.ts AS purchase_ts, p.value AS purchase_value
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+       JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+        AND p.ts > c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""",
+)
+def evj01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (equi + time-range) join, batch twin of the stream-stream
+    join (streaming/joins.py::clicks_with_recent_purchases — the SAME
+    function; on streams it adds watermarks and bounded state)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import clicks_with_recent_purchases
+
+    ev = load(spark, sf_dir, "events")
+    return clicks_with_recent_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
