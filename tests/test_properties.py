@@ -1,0 +1,127 @@
+"""Property-based spot checks (SURVEY §5.4): engine invariants verified
+against plain-Python references on hypothesis-generated data. Examples are
+kept small and few — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # group key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@SET
+def test_groupwise_max_invariant(spark, rows):
+    """Q5 semantics: join form returns exactly the rows whose value equals
+    their group max (ALL ties kept), and agrees with the rank-window form."""
+    df = spark.createDataFrame([(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long")
+    m = df.groupBy("k").agg(F.max("v").alias("mx"))
+    join_form = df.join(m, on="k").filter(F.col("v") == F.col("mx")).select("id", "k", "v")
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    win_form = df.withColumn("r", F.rank().over(w)).filter(F.col("r") == 1).select("id", "k", "v")
+    got_join = {tuple(r) for r in join_form.collect()}
+    got_win = {tuple(r) for r in win_form.collect()}
+    maxes = {}
+    for i, (k, v) in enumerate(rows):
+        maxes[k] = max(maxes.get(k, v), v)
+    want = {(i, k, v) for i, (k, v) in enumerate(rows) if v == maxes[k]}
+    assert got_join == want == got_win
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=5))
+@SET
+def test_topk_is_sorted_prefix(spark, rows, k):
+    """ORDER BY + LIMIT k returns a prefix of the total order (ties may
+    swap only within equal sort keys)."""
+    df = spark.createDataFrame([(i, v) for i, (_, v) in enumerate(rows)], "id long, v long")
+    got = [r["v"] for r in df.orderBy(F.desc("v"), F.asc("id")).limit(k).collect()]
+    want = sorted((v for _, v in rows), reverse=True)[:k]
+    assert got == want
+
+
+@given(
+    pts=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=15),
+    ivs=st.lists(
+        st.tuples(st.floats(min_value=0, max_value=100, allow_nan=False),
+                  st.floats(min_value=0, max_value=40, allow_nan=False)),
+        min_size=1, max_size=8,
+    ),
+    width=st.sampled_from([7.0, 20.0, 55.0]),
+)
+@SET
+def test_range_join_invariant(spark, pts, ivs, width):
+    """Bucketized range join ≡ naive containment at any bucket width."""
+    from youtube_data_lakehouse_and_analysis_spark.operators.rangejoin import range_join
+
+    p = spark.createDataFrame([(i, x) for i, x in enumerate(pts)], "pid long, x double")
+    iv = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(ivs)], "iid long, lo double, hi double"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, point_col="x", lo_col="lo", hi_col="hi", bucket_width=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (lo, w) in enumerate(ivs)
+        if lo <= x < lo + w
+    }
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=1000),   # ts offset sec
+            st.booleans(),                               # is right-side row
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_asof_join_invariant(spark, events):
+    """asof_join: the matched right ts is the max right ts <= left ts for
+    the key, or null if none exists."""
+    from youtube_data_lakehouse_and_analysis_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s, is_r) in enumerate(events)
+        if not is_r
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=s), float(i))
+        for i, (k, s, is_r) in enumerate(events)
+        if is_r
+    ]
+    if not lrows or not rrows:
+        return
+    left = spark.createDataFrame(lrows, "id long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, px double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["px"])
+    got = {r["id"]: r["asof_ts"] for r in out.collect()}
+    for lid, lk, lts in lrows:
+        cand = [rts for rk, rts, _ in rrows if rk == lk and rts <= lts]
+        assert got[lid] == (max(cand) if cand else None)
