@@ -68,3 +68,37 @@ def test_j01_partial_aggregation(spark):
     (HashAggregate appears twice: partial + final)."""
     plan = plan_of(spark, "j01_inner_join_agg")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_rj01_bucketized_not_nested_loop(spark):
+    """The range join must hit the bucketized equi-join rewrite — a bare
+    inequality join would plan CartesianProduct/BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "rj01_range_join_agg")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_as01_asof_single_shuffle(spark):
+    """The as-of join is union + one window pass: exactly one exchange
+    (the key partitioning), no join operator at all."""
+    plan = plan_of(spark, "as01_asof_join")
+    assert plan.count("Exchange") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan
+
+
+def test_sj01_salted_join_is_hash_join(spark):
+    plan = plan_of(spark, "sj01_salted_join_agg")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sim05_filter_reaches_documents_scan(spark):
+    """Hybrid search: the metadata predicates must be pushed into the
+    documents parquet scan, and only doc_id read from it."""
+    plan = formatted(spark, "sim05_hybrid_filtered_ann")
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "n_chars" in line
+    ]
+    assert pushed, plan
+    assert any("EqualTo(lang,en)" in line for line in pushed), pushed
