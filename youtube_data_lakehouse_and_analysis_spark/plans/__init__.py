@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     advanced,
     dedup,
+    extras,
     multimodal,
     olap,
     timeseries,
