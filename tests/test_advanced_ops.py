@@ -150,3 +150,16 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_connected_components(spark):
+    from youtube_data_lakehouse_and_analysis_spark.operators.cluster import connected_components
+
+    # two components: a 4-chain (worst case for propagation) and a triangle,
+    # plus an isolated self-pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}

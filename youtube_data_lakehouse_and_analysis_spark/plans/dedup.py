@@ -9,6 +9,7 @@ word_shingles and operators/dedup.py shapes 1:1.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import sql_md5_prefix_long
@@ -138,3 +139,54 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (token-multiplicity majority vote);
     near-dups differ in few bits. Integer-only math → portable oracle."""
     return D.simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+@query(
+    "dd07_dup_clusters",
+    f"""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            WITH {_SIG_CTE},
+            bandkey AS (
+              SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bandkey a
+            JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id) t
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+          UNION SELECT doc_a, doc_a FROM pairs
+          UNION SELECT doc_b, doc_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id,
+               COUNT(DISTINCT b) AS cluster_size
+        FROM reach GROUP BY a""",
+)
+def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: connected components
+    via iterative min-label propagation (operators/cluster.py), then the
+    canonical id (= min member) and component size per doc. The oracle
+    computes the same closure with a recursive CTE — feasible only at test
+    scale; the iterative join IS the 100 TB path."""
+    from ..operators.cluster import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    pairs = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, on="component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
