@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     extras,
     multimodal,
     olap,
+    olap2,
     timeseries,
     queries,
     scalar,
