@@ -102,3 +102,40 @@ def test_sim05_filter_reaches_documents_scan(spark):
     ]
     assert pushed, plan
     assert any("EqualTo(lang,en)" in line for line in pushed), pushed
+
+
+def test_j11_dims_broadcast(spark):
+    """TPC-H Q5 shape: region/nation/supplier chain must broadcast — only
+    orders⋈lineitem and the customer join may shuffle."""
+    plan = plan_of(spark, "j11_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, supplier
+
+
+def test_j12_semi_join_before_reagg(spark):
+    """Q18 shape: the qualifying-orderkey filter must be a semi join (no
+    row multiplication) and both aggregations must partial-aggregate."""
+    plan = plan_of(spark, "j12_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final, twice
+
+
+def test_j13_exists_becomes_semi_join(spark):
+    """Catalyst must de-correlate the EXISTS into a semi join — no
+    nested-loop per-row subquery execution."""
+    plan = plan_of(spark, "j13_exists_subquery")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dd08_discard_set_broadcast(spark):
+    """The canonical-corpus anti join must broadcast the (small) discard
+    set rather than shuffling the corpus."""
+    plan = plan_of(spark, "dd08_canonical_corpus")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ta05_no_python_udf(spark):
+    """Token counting must stay JVM-side (regexp_extract_all), never a
+    Python UDF in the per-row hot path."""
+    plan = plan_of(spark, "ta05_bpe_token_count")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,279 @@
+"""Third OLAP coverage batch: the classic multi-way-join benchmark shapes
+(TPC-H Q5 local-supplier volume, Q18 large-volume customer), EXISTS
+correlated subqueries, ntile bucketing, the canonical deduplicated corpus
+(the end product of the dd-series), and a BPE-ish regex token counter.
+
+Determinism strategy as in plans/queries.py: money math in DECIMAL(18,2),
+every LIMIT behind a total order, identical float expression trees on both
+engines, and window orderings made total with unique tiebreak keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .queries import dec2, query
+
+# ---------------------------------------------------------------------------
+# Multi-way join benchmark shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j11_local_supplier_volume",
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+def j11_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-table join where the
+    customer and the supplier must share a nation, restricted to one region
+    and a date range, aggregated to per-nation revenue.
+
+    Scale: region→nation is a handful of rows → broadcast into supplier,
+    and the (filtered) supplier side itself broadcasts into lineitem, so
+    the only real shuffles are orders⋈lineitem on orderkey and the final
+    customer join; the date predicate pushes to the orders scan and the
+    region filter prunes 4/5 of nations before any fact data moves. The
+    c_nationkey = s_nationkey condition rides along as a post-join filter
+    on already-joined rows — no extra shuffle."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "j12_large_volume_customer",
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey
+                            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+       GROUP BY c_custkey, o_orderkey, o_orderdate""",
+)
+def j12_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose line quantities
+    sum past a threshold, re-joined to customer and re-aggregated.
+
+    Scale: the HAVING side aggregates lineitem down to qualifying orderkeys
+    FIRST (map-side partial sums, then one shuffle on orderkey), and that
+    small key set semi-joins back into lineitem — at TPC-H selectivities
+    ~1/5 of orders survive, and with a tighter threshold the key set
+    broadcasts. The second aggregation reuses the orderkey partitioning
+    from the semi-join shuffle, so AQE plans no extra exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(150).cast("decimal(18,2)"))
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec2("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "j13_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'F')""",
+)
+def j13_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — customers with at least one finished order —
+    written through the SQL API on purpose: Catalyst rewrites the EXISTS
+    into a left-semi hash join (RewritePredicateSubquery), the same
+    physical plan as the hand-built j03 semi join.
+
+    Scale: the status filter pushes to the orders scan; the semi join
+    shuffles both sides on custkey and keeps at most one match per
+    customer — no row multiplication, no distinct needed."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile bucketing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w08_ntile_buckets",
+    """SELECT o_orderkey, o_custkey,
+              ntile(4) OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                                      o_orderkey) AS price_quartile
+       FROM orders""",
+)
+def w08_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer price quartiles via ntile(4). ntile assigns by row
+    position, so the window order must be TOTAL for engine-identical
+    output: exact integer cents first, unique o_orderkey as tiebreak.
+
+    Scale: one shuffle on o_custkey + one in-partition sort — same cost
+    profile as any ranking window; no second pass, ntile is computed from
+    the partition row count available at sort time."""
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(cents, F.col("o_orderkey"))
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.ntile(4).over(w).alias("price_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical deduplicated corpus — the end product of the dd-series
+# ---------------------------------------------------------------------------
+
+
+def _dd_closure_cte() -> str:
+    from .dedup import _SIG_CTE
+
+    return f"""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            WITH {_SIG_CTE},
+            bandkey AS (
+              SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bandkey a
+            JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id) t
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+          UNION SELECT doc_a, doc_a FROM pairs
+          UNION SELECT doc_b, doc_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)"""
+
+
+@query(
+    "dd08_canonical_corpus",
+    _dd_closure_cte()
+    + """
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM documents d
+       LEFT JOIN clus ON d.doc_id = clus.doc_id
+       WHERE clus.cluster_id IS NULL OR clus.cluster_id = d.doc_id""",
+)
+def dd08_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every document except non-canonical
+    members of a near-dup cluster (canonical = min doc_id in the connected
+    component, as in dd07). This is the query a training-data pipeline
+    actually ships — dd01..dd07 are its building blocks.
+
+    Scale: the discard set (cluster members minus canonicals) is a small
+    keyed DataFrame — typically a few % of the corpus — so the final
+    left-anti join broadcasts it; the corpus itself is never shuffled.
+    The closure runs on candidate PAIRS (LSH-bounded), never on all
+    n² document combinations."""
+    from ..operators import dedup as D
+    from ..operators.cluster import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    pairs = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    discard = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(discard), on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+# Letter runs, single digits, single punctuation marks — the shape of a
+# byte-pair-encoding pre-tokenizer, kept to constructs RE2 (DuckDB) and the
+# JVM regex engine (Spark) interpret identically.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "ta05_bpe_token_count",
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(n_chars AS DOUBLE)
+                 / NULLIF(len(regexp_extract_all(text, '{_BPE_RE}')), 0) AS chars_per_token
+        FROM documents""",
+)
+def ta05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer token counts: letter runs + single digits +
+    single punctuation, counted with regexp_extract_all — a deterministic
+    proxy for LLM token budgeting (real BPE merges only ever reduce the
+    count within a pre-token). chars_per_token is the usual compression
+    diagnostic; NULL for empty docs on both engines (Spark's x/0 → NULL,
+    DuckDB via NULLIF).
+
+    Scale: pure per-row JVM-side regex — whole-stage codegen, no shuffle,
+    no Python; the scan reads only (doc_id, text, n_chars)."""
+    toks = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.cast("bigint").alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / F.nullif(toks, F.lit(0))).alias(
+            "chars_per_token"
+        ),
+    )
