@@ -107,3 +107,73 @@ def test_stream_stream_interval_join(spark, tmp_path):
         spark.createDataFrame(clicks, schema), spark.createDataFrame(purchases, schema)
     )
     assert [tuple(r) for r in b.select("click_id", "user_id", "purchase_value").collect()] == [(1, 7, 9.5)]
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """The commit-ledger sink must (a) land every streamed row exactly
+    once, and (b) turn a replayed batch_id into a no-op."""
+    import datetime as dt
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.sink import IdempotentBatchSink
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m, 0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(i, ts(i), i % 3, "click", float(i)) for i in range(10)]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    sink = IdempotentBatchSink(out)
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(10))
+
+    # crash-replay simulation: re-deliver batch 0 with the same batch_id
+    sink(spark.createDataFrame(rows, schema), 0)
+    again = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert again == first  # no duplicate append
+
+
+def test_overwrite_date_partitions_converges(spark, tmp_path):
+    """The dynamic-partition-overwrite sink must be a fixed point under
+    replay and only rewrite the partitions present in the batch."""
+    import datetime as dt
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.sink import (
+        overwrite_date_partitions,
+    )
+
+    out = str(tmp_path / "silver")
+    schema = "event_id long, event_date date, value double"
+    day1 = dt.date(2024, 1, 1)
+    day2 = dt.date(2024, 1, 2)
+    b1 = spark.createDataFrame([(1, day1, 1.0), (2, day2, 2.0)], schema)
+    overwrite_date_partitions(b1, out, "event_date")
+
+    def read_out():
+        # partition columns come back last on read — re-project to the
+        # original order before comparing
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).select("event_id", "event_date", "value").collect()
+        )
+
+    # replaying the same batch converges to the same content
+    overwrite_date_partitions(b1, out, "event_date")
+    assert read_out() == [(1, day1, 1.0), (2, day2, 2.0)]
+
+    # a later batch touching only day2 must leave day1 intact
+    b2 = spark.createDataFrame([(3, day2, 3.0)], schema)
+    overwrite_date_partitions(b2, out, "event_date")
+    assert read_out() == [(1, day1, 1.0), (3, day2, 3.0)]
