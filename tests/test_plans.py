@@ -139,3 +139,12 @@ def test_ta05_no_python_udf(spark):
     Python UDF in the per-row hot path."""
     plan = plan_of(spark, "ta05_bpe_token_count")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_j14_preagg_join_broadcast_dim(spark):
+    """Q17 shape: the per-part aggregate must shuffle lineitem only once
+    (partial+final HashAggregate), and the name-filtered part dim must
+    broadcast."""
+    plan = plan_of(spark, "j14_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # per-part agg + final, each partial+final

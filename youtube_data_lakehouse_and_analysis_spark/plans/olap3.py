@@ -277,3 +277,45 @@ def ta05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "j14_small_qty_revenue",
+    """WITH pa AS (SELECT l_partkey, COUNT(*) AS n,
+                          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN pa   ON lineitem.l_partkey = pa.l_partkey
+       WHERE p_name LIKE '%blue%'
+         AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""",
+)
+def j14_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of 'blue'
+    parts whose quantity is below 20% of that part's average quantity.
+    The correlated AVG subquery of the textbook form is written as a
+    pre-aggregated join — the de-correlation Catalyst would do anyway,
+    stated explicitly — and the threshold is cross-multiplied
+    (5·qty·n < Σqty), so the row set is decided in exact decimal
+    arithmetic on both engines.
+
+    Scale: the per-part aggregate shuffles lineitem once on partkey and
+    its output is |parts| rows; the probe join reuses that partitioning;
+    the name-filtered part side broadcasts. Final agg is a single
+    all-reduce of two partial sums."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.count("*").alias("n"), F.sum(dec2("l_quantity")).alias("sq")
+    )
+    blue = load(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(dec2("l_quantity") * 5 * F.col("n") < F.col("sq"))
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
