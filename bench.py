@@ -5,8 +5,9 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Methodology: session startup excluded; per query one warm-up then the
-median of 3 timed runs; execution via the noop sink (full plan runs, no
-driver-side row transfer skewing the number).
+median of 5 timed runs (the box shows ±15% run-to-run noise under driver
+load — 5 samples keep the median stable); execution via the noop sink
+(full plan runs, no driver-side row transfer skewing the number).
 """
 
 from __future__ import annotations
@@ -61,7 +62,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         run_query(spark, fn, SF_DIR)  # warm-up (JIT, parquet footer cache)
-        timings[name] = round(statistics.median(run_query(spark, fn, SF_DIR) for _ in range(3)), 4)
+        timings[name] = round(statistics.median(run_query(spark, fn, SF_DIR) for _ in range(5)), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -319,3 +319,68 @@ def j14_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping_id over rollup; stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a12_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def a12_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id: distinguishes a real NULL group key from a
+    rollup-generated subtotal row — the standard way to make super-
+    aggregate rows machine-readable. The oracle recomputes the id from the
+    two GROUPING() bits (DuckDB's GROUPING_ID argument form differs, the
+    bit arithmetic does not).
+
+    Scale: rollup = one shuffle; Spark expands the grouping sets map-side
+    and partial-aggregates each, so the exchange carries one partial row
+    per (set, key) — no per-set rescans."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@query(
+    "sm02_stratified_sample",
+    """SELECT event_type, event_id, user_id FROM (
+         SELECT event_type, event_id, user_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) t
+       WHERE rn <= 100""",
+)
+def sm02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly min(100, |stratum|) rows
+    per event_type, selected by md5-hash order — reproducible across
+    engines and runs, unlike rand()-based sampleBy. The hash IS the random
+    key; the unique event_id tiebreak makes the order total.
+
+    Scale: one shuffle on the stratum key + per-partition top-k sort.
+    For heavily skewed strata the same pattern runs as a two-phase top-k
+    (per-partition heads, then merge), which Spark's window already
+    approximates with partial sort spilling."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
