@@ -167,3 +167,42 @@ def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_rolling_min"),
     )
+
+
+@query(
+    "ta06_vocabulary",
+    r"""WITH norm AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM norm)
+        SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 1000""",
+)
+def ta06_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-1000 tokens by occurrence count with document
+    frequency — the corpus statistic behind tokenizer training, stopword
+    induction, and TF-IDF weighting. Order is total (count desc, token asc)
+    so both engines pick the identical cutoff.
+
+    Scale: explode → groupBy(token) is one shuffle whose payload is the
+    token stream; partial aggregation collapses each mapper's repeats
+    before the exchange, and the (count, doc_freq) pair per token is a
+    fixed-size state. distinct-doc counting shuffles (token, doc_id) —
+    exact here; at 100 TB swap in approx_count_distinct for a fixed-size
+    HLL sketch per token. Top-1000 is TakeOrderedAndProject."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(1000)
+    )
