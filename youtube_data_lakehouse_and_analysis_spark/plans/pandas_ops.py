@@ -1,0 +1,80 @@
+"""Grouped-map Pandas UDF surface (applyInPandas) with an EXACT oracle —
+the escape hatch for per-group algorithms Spark expressions can't state,
+done without giving up engine-identical results.
+
+The determinism recipe: every float-sensitive input is encoded JVM-side as
+an exact integer (days via datediff, money via decimal→cents), the UDF
+accumulates with arbitrary-precision Python ints (no float, no int64
+overflow), and exactly ONE float operation — a single IEEE-754 division of
+two exactly-representable integers — produces each double output. DuckDB's
+int→double cast + division performs the identical two roundings, so the
+hash gate passes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .queries import dec2, query
+
+
+def _slope_udf(pdf):
+    import pandas as pd
+
+    xs = [int(v) for v in pdf["x"]]
+    ys = [int(v) for v in pdf["y"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = float(num) / float(den) if den else None
+    return pd.DataFrame(
+        {"event_type": [pdf["event_type"].iloc[0]], "n": [n], "slope_cents_per_day": [slope]}
+    )
+
+
+@query(
+    "pd01_group_regression",
+    """WITH b AS (
+         SELECT event_type,
+                date_diff('day',
+                          CAST(MIN(ts) OVER (PARTITION BY event_type) AS DATE),
+                          CAST(ts AS DATE)) AS x,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         FROM events),
+       s AS (SELECT event_type, COUNT(*) AS n,
+                    SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             FROM b GROUP BY event_type)
+       SELECT event_type, n,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+       FROM s""",
+)
+def pd01_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend: least-squares slope (cents/day) of event
+    value over days-since-first-event, computed in a grouped-map
+    applyInPandas UDF. The regression itself is the pretext; the point is
+    the pattern — exact integer encoding in, big-int accumulation inside,
+    one float division out (module docstring).
+
+    Scale: one shuffle on the grouping key; each group streams through the
+    UDF as Arrow batches. Groups here are 5 event types — for high-
+    cardinality keys this stays balanced (state per group is six numbers);
+    for SKEWED keys pre-aggregate the six moment sums relationally (a09
+    pattern) and keep Python out entirely — which is also the fallback
+    whenever the per-group logic happens to be expressible as sums."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.min("ts").over(w).cast("date")).alias("x"),
+        (dec2("value") * 100).cast("bigint").alias("y"),
+    )
+    return base.groupBy("event_type").applyInPandas(
+        _slope_udf, schema="event_type string, n bigint, slope_cents_per_day double"
+    )
