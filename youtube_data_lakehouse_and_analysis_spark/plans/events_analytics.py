@@ -1,0 +1,101 @@
+"""Event-analytics shapes over the `events` table: ordered conversion
+funnels and retention cohorts — the two canonical product-analytics
+queries (and at 100 TB/day event volumes, the ones whose shuffle structure
+matters most).
+
+Both are pure built-in-expression pipelines; timestamps compare exactly
+because catalog.load pins the nanos→micros truncation and UTC on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .queries import query
+
+
+@query(
+    "ev01_funnel",
+    """WITH stages AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+                MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT COUNT(*) AS n_users,
+              COUNT(t_view) AS n_view,
+              COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+              COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 END) AS n_full_funnel
+       FROM stages""",
+)
+def ev01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user advances a
+    stage only if the stage's FIRST occurrence is strictly after the
+    previous stage's first occurrence (NULL stage times drop out of the
+    count via three-valued logic — identically on both engines).
+
+    Scale: stage timestamps come from one conditional-MIN aggregation —
+    a single shuffle on user_id with map-side partials, per-user state of
+    three timestamps. The funnel conditions are then a driver-free global
+    count (second tiny all-reduce). No joins, no window, no event-order
+    sort: first-occurrence funnels never need the full event sequence."""
+    stages = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    advanced = F.col("t_click") > F.col("t_view")
+    full = advanced & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(advanced, 1)).alias("n_view_then_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "ev02_retention_cohorts",
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       first AS (
+         SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id)
+       SELECT d0 AS cohort_day,
+              date_diff('day', d0, d) AS day_offset,
+              COUNT(*) AS n_users
+       FROM days JOIN first USING (user_id)
+       GROUP BY d0, date_diff('day', d0, d)""",
+)
+def ev02_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active day, counted
+    on each subsequent active day (offset in days). The standard cohort
+    heat-map feed.
+
+    Scale: events collapse to DISTINCT (user, day) first — the biggest
+    cardinality cut available (events/user/day → 1) — so everything after
+    runs on active-days, not raw events. first-day derives from that same
+    distinct set (shuffle on user_id, reused by the join under AQE); the
+    final group-by is on (cohort_day, offset), tiny. Nothing touches the
+    raw event payload after the first projection."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        days.join(first, on="user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
