@@ -148,3 +148,76 @@ def test_j14_preagg_join_broadcast_dim(spark):
     plan = plan_of(spark, "j14_small_qty_revenue")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # per-part agg + final, each partial+final
+
+
+def test_h04_exists_is_semi_join(spark):
+    """TPC-H Q4 shape: the correlated EXISTS (with its cross-table date
+    inequality) must plan as a hash semi join on orderkey, never a
+    nested-loop subquery, and the quarter predicate must reach the scan."""
+    plan = plan_of(spark, "h04_order_priority_check")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    fmt = formatted(spark, "h04_order_priority_check")
+    assert "GreaterThanOrEqual(o_orderdate" in fmt, "quarter filter not pushed"
+
+
+def test_h06_pure_scan_aggregate(spark):
+    """TPC-H Q6: no join operator at all; every predicate pushed to the
+    lineitem scan; single-row all-reduce aggregate."""
+    plan = plan_of(spark, "h06_forecast_revenue")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan
+    fmt = formatted(spark, "h06_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in fmt and "LessThan(l_shipdate" in fmt
+
+
+def test_h10_topk_and_broadcast_nation(spark):
+    """TPC-H Q10 shape: ORDER BY + LIMIT 20 must plan TakeOrderedAndProject
+    (per-partition heaps, no global sort) and nation must broadcast."""
+    plan = plan_of(spark, "h10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_h13_left_join_preserved(spark):
+    """TPC-H Q13 shape: the status exclusion lives in the join condition,
+    so the customer-preserving LeftOuter must survive optimization (a
+    WHERE would let Catalyst degrade it to inner), and both aggregation
+    levels must partial-aggregate."""
+    plan = plan_of(spark, "h13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_h16_anti_join_broadcast(spark):
+    """TPC-H Q16 shape: the exclusion list must be a broadcast anti join
+    (never a shuffle of lineitem against 100 suppliers), and the
+    distinct-count must expand to a two-level aggregate."""
+    plan = plan_of(spark, "h16_parts_supplier_counts")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_h19_disjunction_prefilters_part(spark):
+    """TPC-H Q19: the OR-of-ANDs straddles the join, but Catalyst must
+    still derive the part-side prefix (brand IN ... ∧ size bounds) and
+    keep the join a broadcast hash join — no cartesian fallback."""
+    plan = plan_of(spark, "h19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    fmt = formatted(spark, "h19_disjunctive_revenue")
+    # Catalyst derives the part-only prefix of the OR and pushes the whole
+    # disjunction (brand=..∧size≤..) into the part parquet scan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in fmt, (
+        "derived brand/size disjunction not pushed to part scan"
+    )
+
+
+def test_h21_semi_and_anti_from_sql(spark):
+    """TPC-H Q21 shape: Catalyst must rewrite EXISTS → LeftSemi and
+    NOT EXISTS (with its correlated date predicate) → LeftAnti, keep every
+    join a hash join, and plan the final top-20 without a global sort."""
+    plan = plan_of(spark, "h21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
