@@ -213,6 +213,25 @@ def test_h19_disjunction_prefilters_part(spark):
     )
 
 
+def test_ta08_chunking_mapside_only(spark):
+    """Chunking must be pure map-side: explode + substring in codegen —
+    no shuffle, no Python evaluation in the per-row path."""
+    plan = plan_of(spark, "ta08_char_chunks")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_dd09_single_keyed_shuffle(spark):
+    """Repeated-ngram detection: shingling stays map-side; the only
+    exchanges belong to the ngram aggregation (distinct-count expansion),
+    and nothing falls back to Python or a nested-loop join."""
+    plan = plan_of(spark, "dd09_repeated_ngrams")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_h21_semi_and_anti_from_sql(spark):
     """TPC-H Q21 shape: Catalyst must rewrite EXISTS → LeftSemi and
     NOT EXISTS (with its correlated date predicate) → LeftAnti, keep every
