@@ -232,6 +232,19 @@ def test_dd09_single_keyed_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_sim06_broadcast_centroids_no_python(spark):
+    """k-means step: the K-row centroid side must BROADCAST into the
+    vector scan (a BroadcastNestedLoopJoin is correct for an unconditioned
+    cross join with a tiny build side — what must never appear is a
+    shuffled CartesianProduct), per-row distance math stays in codegen
+    (no Python), and the cluster reduce partial-aggregates."""
+    plan = plan_of(spark, "sim06_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_h21_semi_and_anti_from_sql(spark):
     """TPC-H Q21 shape: Catalyst must rewrite EXISTS → LeftSemi and
     NOT EXISTS (with its correlated date predicate) → LeftAnti, keep every

@@ -214,3 +214,73 @@ def sim05_hybrid_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim06 — one k-means (Lloyd) iteration as pure dataflow
+# ---------------------------------------------------------------------------
+
+_K = 8  # seed centroids = the embeddings of vec_id 0.._K-1
+
+
+@query(
+    "sim06_kmeans_step",
+    f"""WITH {_QUANT},
+        cent AS (SELECT vec_id AS centroid_id, qv AS c_vec
+                 FROM base WHERE vec_id < {_K}),
+        dist AS (
+          SELECT vec_id, centroid_id,
+                 list_sum(list_transform(range(1, 65),
+                          i -> (qv[i] - c_vec[i]) * (qv[i] - c_vec[i]))) AS d2
+          FROM withnorm CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, centroid_id, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+            FROM dist) t
+          WHERE rn = 1)
+        SELECT centroid_id AS cluster_id,
+               COUNT(*) AS n_members,
+               SUM(d2) AS inertia
+        FROM assigned GROUP BY centroid_id""",
+)
+def sim06_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding column, expressed
+    as dataflow: assign every vector to its nearest of K=8 seed centroids
+    (the embeddings of vec_id 0..7) by exact integer squared-euclidean
+    distance, then report per-cluster membership and inertia. Distances,
+    the argmin (tie → lowest centroid_id), and inertia are all exact
+    integer arithmetic — bit-identical across engines. The driver loop of
+    a full k-means repeats this step with recomputed centroid literals;
+    each iteration is this same one-shuffle job.
+
+    Scale: the K×64 centroid matrix broadcasts (a few KB at any corpus
+    size); distance + argmin are map-side per-vector work (zip_with /
+    aggregate built-ins, no Python); the only shuffle is the K-key
+    aggregate, collapsed almost entirely by map-side combine. This is the
+    canonical pattern for iterative ML on Spark: per-iteration state small
+    enough to broadcast, per-row work stateless, one tiny reduce."""
+    from ..operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", S.quantize("embedding").alias("qv"))
+    cent = (
+        q.filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("qv").alias("c_vec"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c_vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("centroid_id", "d2"), F.struct("d2", "centroid_id")).alias("best"))
+        .select("vec_id", F.col("best.centroid_id").alias("centroid_id"), F.col("best.d2").alias("d2"))
+    )
+    return (
+        assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_members"), F.sum("d2").alias("inertia"))
+    )
