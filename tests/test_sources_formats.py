@@ -1,0 +1,60 @@
+"""File-format round-trips (sources/files.py): CSV, JSON-lines, ORC carry
+the same rows and types back; ORC scans push down filters/columns like
+parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_data_lakehouse_and_analysis_spark.sources import files as FF
+
+from .conftest import SF_DIR
+
+
+def _sample(spark):
+    # nulls, timestamps, strings-with-commas, doubles — the round-trip traps
+    return (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .limit(200)
+        .withColumn(
+            "tricky",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit('a,"b",c')).otherwise(F.lit(None)),
+        )
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("o_orderkey").collect()]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "csv")
+    FF.write_csv(df, path, coalesce=2)
+    back = FF.read_csv(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "jsonl")
+    FF.write_jsonl(df, path)
+    back = FF.read_jsonl(spark, path, df.schema)
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "orc")
+    FF.write_orc(df, path)
+    back = FF.read_orc(spark, path, df.schema)
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+    # pushdown parity with parquet: filter + projection reach the ORC scan
+    q = FF.read_orc(spark, path).filter(F.col("o_custkey") == 7).select("o_orderkey")
+    fmt = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in fmt and "EqualTo(o_custkey,7)" in fmt, fmt
+    assert "struct<o_orderkey:bigint" in fmt.replace(" ", "") or "o_orderkey:bigint" in fmt

@@ -78,3 +78,48 @@ def pd01_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("event_type").applyInPandas(
         _slope_udf, schema="event_type string, n bigint, slope_cents_per_day double"
     )
+
+
+# ---------------------------------------------------------------------------
+# pd02 — Python UDTF (Spark 4 user-defined table function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pd02_udtf_bigrams",
+    """SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS bigram
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+            UNNEST(range(0, len(ws) - 1)) AS u(i)
+       WHERE len(ws) >= 2""",
+)
+def pd02_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): a table function emitting one row per word
+    bigram, applied per document via LATERAL — the API-surface
+    demonstration for row-expanding Python logic that can't be expressed
+    with built-ins. (These bigrams CAN be — see dd09's built-in shingle
+    path; a real use is a tokenizer or parser library call. The point
+    here is exercising the UDTF execution path under the oracle gate.)
+
+    Scale: UDTFs run Arrow-batched Python workers — the slow path
+    (~10-100× vs codegen). Use only when the expansion logic needs a
+    Python library; keep the UDTF stateless so Spark can pipeline it
+    map-side (no shuffle here), and project only the columns the UDTF
+    consumes (the lateral join carries doc_id + text)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                yield i, w[i] + " " + w[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """SELECT d.doc_id, b.pos, b.bigram
+           FROM documents_v d, LATERAL bigrams(d.text) b"""
+    )

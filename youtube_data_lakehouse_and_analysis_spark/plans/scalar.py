@@ -249,3 +249,32 @@ def f09_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         (F.dayofweek(F.col("l_shipdate").cast("date")) - 1).alias("dow"),
     )
+
+
+@query(
+    "f16_variant_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+              CAST(json_extract_string(props, '$.nope') AS BIGINT) AS k_missing
+       FROM events""",
+)
+def f16_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VariantType:
+    parse_json shreds the props string into the binary variant encoding
+    once, then variant_get / try_variant_get navigate it — at scale this
+    beats get_json_object (f07), which re-parses the JSON text on every
+    path extraction; variant decodes to a typed tree a single time and
+    path access is O(depth) over the binary form. try_variant_get returns
+    NULL for missing paths (matching json_extract_string → CAST NULL on
+    the oracle side).
+
+    Scale: stateless map-side codegen, no shuffle; in a real lakehouse the
+    variant column is materialized at ingest so every downstream query
+    skips the text parse entirely."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.try_variant_get(v, "$.nope", "bigint").alias("k_missing"),
+    )

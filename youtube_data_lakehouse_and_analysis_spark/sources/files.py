@@ -1,0 +1,73 @@
+"""File-format source/sink breadth beyond parquet: CSV, JSON-lines, ORC.
+
+The reference's only storage formats are MongoDB documents and MySQL rows
+(SURVEY §2.1-2.2); parquet replaces both in this engine. These adapters
+cover the interchange formats a lakehouse ingests from and exports to,
+with the engine's rules applied uniformly:
+
+  * schemas are EXPLICIT on read (never inferSchema — a schema inference
+    pass is a full extra scan at 100 TB, and silently drifts types);
+  * timestamps are written/parsed as ISO-8601 UTC;
+  * CSV/JSON are treated as ingest/export formats only — analytics run on
+    columnar parquet/ORC (row formats can't push down projections, so
+    every query would pay a full-row parse).
+
+ORC is the one alternative columnar format Spark ships a vectorized
+reader for; `read_orc` is a drop-in for `read_parquet` with the same
+pushdown behavior (asserted in tests/test_sources_formats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_CSV_OPTS = {
+    "header": "true",
+    "timestampFormat": _TS_FMT,
+    "escape": '"',
+    "nullValue": "\\N",  # distinguish NULL from empty string, mysqldump-style
+}
+_JSON_OPTS = {"timestampFormat": _TS_FMT}
+
+
+def write_csv(df: DataFrame, path: str, coalesce: int | None = None) -> None:
+    """Export to CSV. `coalesce` caps output files for hand-off-sized
+    results; leave None for pipeline-scale exports (one file per task)."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").options(**_CSV_OPTS).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Ingest CSV with an explicit schema. Malformed rows fail loudly
+    (FAILFAST): a silent PERMISSIVE null-out corrupts aggregates
+    downstream where it's far harder to trace."""
+    return (
+        spark.read.schema(schema).options(**_CSV_OPTS, mode="FAILFAST").csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Export to JSON-lines (one object per line — the splittable JSON
+    layout; a single big JSON array is unsplittable and caps parallelism
+    at 1)."""
+    df.write.mode("overwrite").options(**_JSON_OPTS).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).options(**_JSON_OPTS, mode="FAILFAST").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Columnar alternative to parquet: vectorized scan, predicate
+    pushdown, column pruning all apply (plan-asserted in tests). Schema
+    optional — ORC embeds it; passing one pins the contract."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
