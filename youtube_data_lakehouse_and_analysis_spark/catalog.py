@@ -3,13 +3,31 @@
 Tables (TESTDATA.md): region nation customer supplier part orders lineitem
 events documents embeddings — one parquet file each under a scale-factor dir.
 
-At 100 TB these would be partitioned/bucketed managed tables; reading by
-explicit path keeps the same DataFrame surface. Column pruning and filter
-pushdown reach the parquet scan either way (verified in tests via
-.explain("formatted") — PushedFilters / ReadSchema).
+Layout compaction (the lakehouse OPTIMIZE step): the driver's files are
+written as a SINGLE parquet row group each, and a parquet scan cannot split
+inside a row group — so every scan, and the partial aggregation fused into
+its stage, runs in ONE task no matter how many cores the session has
+(measured: all 600k sf0.1 lineitem rows in one task of three). A real
+warehouse fixes degenerate layouts at ingest (row-group sizing / small-file
+compaction — Delta OPTIMIZE, Iceberg rewrite_data_files); `load` does the
+same: on first access it rewrites the table into row-group-sized chunks
+under `spark-warehouse/optimized/` (content-keyed by source size+mtime,
+atomic rename, concurrent-process safe) and serves every later scan from
+the compacted copy. Values are byte-identical to the source — only the
+file layout changes — so oracle comparisons are unaffected. Disable with
+SPARK_GRAFT_NO_COMPACT=1. At 100 TB this step IS the ingest job; the
+point is that scan parallelism is a *layout* property the engine must
+own, not an accident of how files arrived.
+
+Column pruning and filter pushdown reach the parquet scan either way
+(verified in tests via .explain("formatted") — PushedFilters / ReadSchema).
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,6 +44,50 @@ TABLES = (
     "embeddings",
 )
 
+# Rows per output file. Facts split to ~20k-row chunks (plenty of tasks at
+# local scale, still far above small-file territory). documents/embeddings
+# carry heavier PER-ROW compute (minhash, vector math), but measured A/B
+# (interleaved, one process) shows per-task overhead still dominates below
+# ~2500 rows/file at local scale — so they chunk coarser, not finer.
+_CHUNK_ROWS = {"documents": 2500, "embeddings": 2500}
+_DEFAULT_CHUNK_ROWS = 20_000
+_MAX_FILES = 64
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _compacted(spark: SparkSession, src: str, name: str, raw: DataFrame) -> DataFrame:
+    """Return a DataFrame over the compacted copy of `src`, building it on
+    first access. Any failure (read-only disk, races, odd layouts) falls
+    back to the raw single-row-group read."""
+    try:
+        import pyarrow.parquet as pq
+
+        st = os.stat(src)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        chunk = _CHUNK_ROWS.get(name, _DEFAULT_CHUNK_ROWS)
+        n_files = min(_MAX_FILES, max(1, (n_rows + chunk - 1) // chunk))
+        if n_files < 2:
+            return raw  # compaction would not add parallelism
+        key = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}:{n_files}".encode()
+        ).hexdigest()[:12]
+        dest = os.path.join(_repo_root(), "spark-warehouse", "optimized", f"{name}-{key}")
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            tmp = f"{dest}.tmp-{os.getpid()}"
+            raw.repartition(n_files).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                return raw
+        return spark.read.parquet(dest)
+    except Exception:
+        return raw
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -33,20 +95,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The DuckDB oracle hashes naive-UTC timestamps; pin the session zone so
     # results agree even when the caller's JVM default zone is not UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects. Read nanos as long (session-settable legacy
         # conf) and truncate to microseconds — the same truncation DuckDB's
         # TIMESTAMP_NS → Python datetime conversion applies, so oracle
-        # comparisons agree.
+        # comparisons agree. The compacted copy stores proper TIMESTAMP
+        # micros, so it reads back without the legacy conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        raw = spark.read.parquet(src).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        raw = spark.read.parquet(src)
+    if os.environ.get("SPARK_GRAFT_NO_COMPACT"):
+        return raw
+    return _compacted(spark, src, name, raw)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
