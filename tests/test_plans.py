@@ -253,3 +253,31 @@ def test_h21_semi_and_anti_from_sql(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dd10_both_probes_broadcast(spark):
+    """Decontamination: the eval n-gram set and the contaminated-id set
+    are both small by construction — each must broadcast (semi then anti);
+    the corpus must never be the build side of a shuffled join."""
+    plan = plan_of(spark, "dd10_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc01_full_outer_merge_join(spark):
+    """Snapshot diff: big-big full outer on the primary key must be a
+    sort-merge join (neither snapshot broadcasts at scale), with the
+    snapshot predicates pushed into both parquet scans."""
+    plan = plan_of(spark, "cdc01_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    fmt = formatted(spark, "cdc01_snapshot_diff")
+    assert "PushedFilters" in fmt and "LessThanOrEqual(o_orderdate" in fmt
+
+
+def test_scd01_single_window_shuffle(spark):
+    """SCD2 build: exactly one user_id exchange feeding a single sorted
+    window pass — no joins, no extra aggregation shuffles."""
+    plan = plan_of(spark, "scd01_scd2_history")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan and "SortMergeJoin" not in plan

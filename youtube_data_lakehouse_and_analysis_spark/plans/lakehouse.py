@@ -1,0 +1,141 @@
+"""Lakehouse maintenance operators: CDC snapshot diff and SCD2 history.
+
+  cdc01 — snapshot differencing: classify every key across two table
+          snapshots as insert / update / delete (the change feed a MERGE
+          INTO consumes; the reference's "idempotency-by-failure" migrate
+          loop, app.py:392-394 / SURVEY §2.12 C3, done right)
+  scd01 — slowly-changing-dimension type-2 history: turn a change log
+          into [valid_from, valid_to) validity intervals with a current
+          flag (the warehouse-side shape of the reference's
+          overwrite-on-remigrate, app.py:404-415)
+
+Determinism: snapshot membership and the simulated update are pure
+functions of key columns; price arithmetic is DECIMAL(18,2); interval
+edges order by (ts, event_id) — a total order since event_id is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# cdc01 — snapshot diff → change feed
+# ---------------------------------------------------------------------------
+
+_OLD_CUTOFF = "1997-06-30"
+_NEW_CUTOFF = "1997-12-31"
+
+
+@query(
+    "cdc01_snapshot_diff",
+    f"""WITH old AS (SELECT o_orderkey,
+                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                              AS price
+                     FROM orders WHERE o_orderdate <= DATE '{_OLD_CUTOFF}'),
+        new AS (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CASE WHEN o_orderkey % 7 = 0
+                                   THEN CAST(1 AS DECIMAL(18,2))
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END
+                            AS DOUBLE) AS price
+                FROM orders
+                WHERE o_orderdate <= DATE '{_NEW_CUTOFF}' AND o_orderkey % 13 <> 0)
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                    WHEN new.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               old.price AS old_price,
+               new.price AS new_price
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+           OR old.price <> new.price""",
+)
+def cdc01_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two snapshots of `orders` into the insert/update/delete feed a
+    MERGE INTO (or downstream incremental view) consumes. The "new"
+    snapshot simulates churn deterministically: orders past the old
+    cutoff appear (inserts), o_orderkey % 13 == 0 vanish (deletes),
+    o_orderkey % 7 == 0 get a DECIMAL-exact +1 price (updates);
+    unchanged keys are filtered out of the feed.
+
+    Scale: a single full-outer sort-merge join on the primary key — the
+    canonical big-big diff. At 100 TB both snapshots are bucketed by key
+    (operators/bucketing.py), making this a zero-Exchange storage-
+    partitioned join; with a transactional table format the diff comes
+    free from the commit log instead, and this operator is the backfill
+    path for plain-parquet snapshots."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = orders.filter(F.col("o_orderdate") <= F.lit(_OLD_CUTOFF).cast("date")).select(
+        "o_orderkey", price.cast("double").alias("price")
+    )
+    bump = F.when(F.col("o_orderkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0)).cast(
+        "decimal(18,2)"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") <= F.lit(_NEW_CUTOFF).cast("date"))
+            & (F.col("o_orderkey") % 13 != 0)
+        )
+        .select("o_orderkey", (price + bump).cast("double").alias("price"))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.col("o.price").alias("old_price"),
+        F.col("n.price").alias("new_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd01 — SCD type-2 validity intervals from a change log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd01_scd2_history",
+    """SELECT user_id, event_id, value AS attr_value,
+              ts AS valid_from,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS valid_to,
+              (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL) AS is_current
+       FROM events""",
+)
+def scd01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: each event is a new attribute version for
+    its user; the validity interval is [this ts, next ts) with NULL
+    valid_to (and is_current=true) on the latest version. (ts, event_id)
+    is a total order per user, so interval edges are deterministic even
+    with equal timestamps.
+
+    Scale: one shuffle on user_id, then a sorted single-pass window —
+    LEAD needs no frame buffering beyond one row. State per user is O(1);
+    skewed users are fine because the window is per-user sequential
+    anyway. The streaming twin is applyInPandasWithState closing the
+    previous interval as each new version arrives
+    (streaming/stateful.py)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
