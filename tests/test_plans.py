@@ -281,3 +281,23 @@ def test_scd01_single_window_shuffle(spark):
     plan = plan_of(spark, "scd01_scd2_history")
     assert plan.count("Exchange") == 1
     assert "Window" in plan and "SortMergeJoin" not in plan
+
+
+def test_ia01_delta_pruning_and_partial_agg(spark):
+    """Incremental maintenance: both slices must push their date predicate
+    into the scan (partition pruning at scale), aggregate with partial
+    stages, and the state merge must involve no join."""
+    fmt = formatted(spark, "ia01_incremental_agg")
+    assert "LessThan(l_shipdate" in fmt and "GreaterThanOrEqual(l_shipdate" in fmt
+    plan = plan_of(spark, "ia01_incremental_agg")
+    assert plan.count("HashAggregate") >= 4  # partial+final per slice/merge
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_fe01_no_python_single_shuffle(spark):
+    """Feature hashing: md5 bucketing stays JVM-side (no Python eval) and
+    the whole op is one keyed exchange with map-side partial aggregation."""
+    plan = plan_of(spark, "fe01_feature_hashing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2

@@ -175,3 +175,45 @@ def ir01_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
     return tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# fe01 — hashing-trick featurization (sparse bag-of-words vectors)
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 64
+
+
+@query(
+    "fe01_feature_hashing",
+    f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT)
+                 % {_N_BUCKETS} AS bucket,
+               COUNT(*) AS cnt
+        FROM tok GROUP BY doc_id, bucket""",
+)
+def fe01_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token maps to one of 64 buckets
+    via md5 (engine-portable), yielding the sparse (doc, bucket, count)
+    bag-of-words representation a downstream trainer consumes — no
+    vocabulary table, no OOV handling, memory fixed by the bucket count.
+
+    Scale: vocabulary-free means no dictionary broadcast and no global
+    distinct pass — the whole op is explode + one combine-friendly
+    groupBy keyed (doc_id, bucket), which partial-aggregates map-side
+    because tokens repeat within a document. Bucket count trades
+    collision rate for width; at 100 TB the same plan holds with 2^18+
+    buckets (the key stays 16 bytes)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % _N_BUCKETS
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -139,3 +139,61 @@ def scd01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ia01 — incremental aggregate maintenance (partial-state merge)
+# ---------------------------------------------------------------------------
+
+_IA_CUTOFF = "1997-01-01"
+
+
+@query(
+    "ia01_incremental_agg",
+    """SELECT l_suppkey,
+              COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS total_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS avg_price
+       FROM lineitem GROUP BY l_suppkey""",
+)
+def ia01_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-supplier (count, sum) states are
+    computed separately for the historical slice (shipdate < 1997) and the
+    delta slice (>= 1997), then MERGED by summing states — the oracle is
+    the single-pass recompute over the whole table, so the gate proves
+    merge(partial(base), partial(delta)) == full recompute. count/sum are
+    the self-merging algebra every incremental pipeline builds on (avg
+    derives at read time; the states stay additive).
+
+    Scale: this is how a 100 TB rollup absorbs a daily 100 GB delta —
+    aggregate only the delta, merge against the stored state table (a
+    key-bucketed join or a co-partitioned groupBy), never rescan the
+    base. Both partials partition-prune on the date predicate; the merge
+    shuffles only K rows per slice, not the fact table. DECIMAL(18,2)
+    sums are order- and grouping-independent, so the merged state is
+    bit-identical to the recompute."""
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_IA_CUTOFF).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_suppkey").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("psum"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_suppkey")
+        .agg(F.sum("cnt").alias("n_items"), F.sum("psum").alias("tsum"))
+    )
+    total = F.col("tsum").cast("double")
+    return merged.select(
+        "l_suppkey",
+        "n_items",
+        total.alias("total_price"),
+        (total / F.col("n_items")).alias("avg_price"),
+    )
