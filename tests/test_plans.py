@@ -301,3 +301,55 @@ def test_fe01_no_python_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With runtime bloom filters on and a selective predicate on one side
+    of a big-big shuffle join, the probe side's scan stage must gain a
+    might_contain filter (rows dropped BEFORE the shuffle) — and results
+    must equal the unfiltered plan (bloom filters never false-negative)."""
+    from pyspark.sql import functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators.runtime_filter import (
+        enable_runtime_bloom,
+        restore_confs,
+    )
+
+    prev = enable_runtime_bloom(spark)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        li = load(spark, SF_DIR, "lineitem")
+        sel = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().agg(
+            F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        with_bloom = j.collect()[0]["n"]
+    finally:
+        restore_confs(spark, prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+    li = load(spark, SF_DIR, "lineitem")
+    sel = load(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    plain = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert with_bloom == plain
+
+
+def test_ses01_single_exchange_drives_all(spark):
+    """Sessionization: one user_id exchange must serve the lag window, the
+    running-sum window, AND the per-session aggregation (partitioning on
+    user_id satisfies (user_id, session_seq) clustering) — with one sort
+    and map-side partial aggregation."""
+    plan = plan_of(spark, "ses01_gap_sessions")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2 and plan.count("HashAggregate") >= 2

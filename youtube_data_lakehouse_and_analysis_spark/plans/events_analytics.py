@@ -10,7 +10,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -98,4 +98,68 @@ def ev02_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("d"), F.col("d0")).alias("day_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ses01 — batch sessionization by inactivity gap
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
+
+
+@query(
+    "ses01_gap_sessions",
+    f"""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts)
+                        - LAG(epoch_us(ts)) OVER w > {_GAP_US}
+                      OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq""",
+)
+def ses01_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when a user's gap since
+    their previous event exceeds 30 minutes; sessions are numbered by a
+    running sum of the start flags, then reduced to (start, end, count).
+    The batch twin of the streaming session window (st03) — same
+    semantics, replayable over history.
+
+    Gap math runs in integer microseconds (unix_micros / epoch_us) so
+    both engines compare exactly; (ts, event_id) totally orders each
+    user's history.
+
+    Scale: one exchange on user_id drives BOTH window passes (lag and
+    running sum share the same partitioning+ordering, one sort); the
+    final per-session reduce partial-aggregates map-side since each
+    session's rows are co-located. Per-user state is one row — skewed
+    power users cost sort time, not memory."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | (us - prev > _GAP_US), 1).otherwise(0)
+    numbered = events.select(
+        "user_id",
+        "ts",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_seq"
+        ),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
     )
