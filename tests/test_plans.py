@@ -353,3 +353,12 @@ def test_ses01_single_exchange_drives_all(spark):
     plan = plan_of(spark, "ses01_gap_sessions")
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 2 and plan.count("HashAggregate") >= 2
+
+
+def test_dq01_shared_scans(spark):
+    """Expectations: same-table checks must share one scan each (one agg
+    pass per table + the FK anti join = at most 3 scans, not one per
+    rule), and the FK check must project keys only before joining."""
+    plan = plan_of(spark, "dq01_expectations")
+    assert plan.count("FileScan parquet") <= 4  # orders agg, lineitem agg, FK probe+build
+    assert "LeftAnti" in plan

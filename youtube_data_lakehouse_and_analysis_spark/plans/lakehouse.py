@@ -197,3 +197,71 @@ def ia01_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_price"),
         (total / F.col("n_items")).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq01 — data-quality expectations (constraint violation report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq01_expectations",
+    """SELECT 'orders_null_orderkey' AS check_name,
+              COUNT(*) FILTER (o_orderkey IS NULL) AS n_violations
+       FROM orders
+       UNION ALL
+       SELECT 'orders_dup_orderkey',
+              COUNT(*) - COUNT(DISTINCT o_orderkey)
+       FROM orders
+       UNION ALL
+       SELECT 'lineitem_nonpositive_price',
+              COUNT(*) FILTER (l_extendedprice <= 0)
+       FROM lineitem
+       UNION ALL
+       SELECT 'lineitem_nonpositive_qty',
+              COUNT(*) FILTER (l_quantity <= 0)
+       FROM lineitem
+       UNION ALL
+       SELECT 'lineitem_orphan_orderkey', COUNT(*)
+       FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)""",
+)
+def dq01_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report: null/duplicate primary keys, domain-range
+    violations, and referential orphans, as (check_name, n_violations)
+    rows — the validation gate a bronze→silver promotion runs (the
+    reference swallows constraint errors instead, app.py:392-394).
+
+    Scale: all same-table checks share ONE scan (a single multi-aggregate
+    pass — adding a check adds a column, not a job); the FK check is the
+    only join, a key-projected anti join whose count partial-aggregates.
+    At 100 TB the per-check outputs are single rows, so the report's
+    union is free; checks gate the write atomically rather than scanning
+    the table once per rule."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_stats = orders.agg(
+        F.count_if(F.col("o_orderkey").isNull()).alias("orders_null_orderkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orders_dup_orderkey"),
+    )
+    li_stats = li.agg(
+        F.count_if(F.col("l_extendedprice") <= 0).alias("lineitem_nonpositive_price"),
+        F.count_if(F.col("l_quantity") <= 0).alias("lineitem_nonpositive_qty"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("lineitem_orphan_orderkey"))
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        # explode-of-map, not unpivot: unpivot plans one copy of the child
+        # subtree PER value column (re-running the agg and its scan); a map
+        # explode evaluates the single-row agg once and fans out rows.
+        pairs = [x for c in df.columns for x in (F.lit(c), F.col(f"`{c}`"))]
+        return df.select(F.explode(F.create_map(*pairs))).toDF(
+            "check_name", "n_violations"
+        )
+
+    return melt(o_stats).unionByName(melt(li_stats)).unionByName(melt(orphans))
