@@ -163,3 +163,35 @@ def test_connected_components(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_observe_metrics_free_ride(spark):
+    """Observation metrics must report exact counts from a pipeline's own
+    pass — validated against separately computed values — without adding
+    a scan (one FileScan in the instrumented plan)."""
+    import pyspark.sql.functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators.observe import (
+        observed,
+        standard_quality_metrics,
+    )
+    from .conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    inst, obs = observed(
+        li,
+        *standard_quality_metrics(
+            "l_orderkey", F.col("l_quantity") <= 0, F.col("l_extendedprice") <= 0
+        ),
+    )
+    # the "pipeline job": an unrelated aggregation
+    result = inst.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    assert len(result) > 0
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["n_null_key"] == 0
+    assert m["n_violation_0"] == li.filter(F.col("l_quantity") <= 0).count()
+    assert m["n_violation_1"] == 0
+    plan = inst._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1

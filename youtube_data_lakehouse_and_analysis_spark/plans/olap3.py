@@ -384,3 +384,87 @@ def sm02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# j15 — null-safe equi-join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j15_null_safe_join",
+    """WITH cust AS (SELECT c_custkey,
+                            CASE WHEN c_custkey % 10 = 0 THEN NULL
+                                 ELSE c_nationkey END AS nk
+                     FROM customer),
+        dim AS (SELECT n_nationkey AS nk, n_name FROM nation
+                UNION ALL SELECT NULL, 'UNKNOWN')
+        SELECT d.n_name, COUNT(*) AS n_customers
+        FROM cust c JOIN dim d ON c.nk IS NOT DISTINCT FROM d.nk
+        GROUP BY d.n_name""",
+)
+def j15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: every 10th customer's nation key is NULLed
+    (a dirty-dimension stand-in) and the dimension carries an explicit
+    NULL→'UNKNOWN' row; `<=>` matches the NULL keys to it, where plain
+    `=` would silently drop those customers.
+
+    Scale: EqualNullSafe is still hash-joinable — Catalyst plans the same
+    broadcast hash join as `=` (plan would degrade to nested-loop only
+    for general theta predicates). The NULL bucket hashes to ONE key, so
+    at 100 TB a mostly-null fact column makes this the textbook skew key:
+    salt the null bucket (operators/skew.py) or route IS NULL rows around
+    the join entirely and union the 'UNKNOWN' rollup back."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    nation = load(spark, sf_dir, "nation")
+    dim = nation.select(F.col("n_nationkey").alias("nk"), "n_name").unionByName(
+        spark.createDataFrame([(None, "UNKNOWN")], "nk bigint, n_name string")
+    )
+    return (
+        cust.join(F.broadcast(dim), cust["nk"].eqNullSafe(dim["nk"]))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rc01 — recursive CTE date spine (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rc01_recursive_date_spine",
+    """WITH RECURSIVE dates(d) AS (
+         SELECT DATE '1995-01-01'
+         UNION ALL
+         SELECT d + INTERVAL '1 day' FROM dates WHERE d < DATE '1995-12-31')
+       SELECT CAST(dates.d AS DATE) AS d, COUNT(o_orderkey) AS n_orders
+       FROM dates LEFT JOIN orders ON orders.o_orderdate = dates.d
+       GROUP BY dates.d""",
+)
+def rc01_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard recursive CTE (new in Spark 4): generate the 1995
+    calendar as a recursive date spine, then LEFT JOIN order counts onto
+    it so zero-order days surface — the same gap-fill semantics as ts01.
+
+    Scale: recursion runs one micro-job per step on the driver's loop —
+    fine for a 365-row spine, wrong for data-sized recursion; ts01's
+    `sequence()`+explode generates the identical spine in one map-side
+    expression and is the 100 TB form. This entry pins the API surface
+    and proves result-parity between the two generation strategies (the
+    spine side is tiny either way, so the join broadcasts it)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc01")
+    return spark.sql(
+        """WITH RECURSIVE dates(d) MAX RECURSION LEVEL 400 AS (
+             SELECT DATE '1995-01-01'
+             UNION ALL
+             SELECT date_add(d, 1) FROM dates WHERE d < DATE '1995-12-31')
+           SELECT dates.d AS d, COUNT(o_orderkey) AS n_orders
+           FROM dates LEFT JOIN orders_rc01 ON orders_rc01.o_orderdate = dates.d
+           GROUP BY dates.d"""
+    )

@@ -13,6 +13,7 @@ hash gate passes bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -122,4 +123,59 @@ def pd02_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """SELECT d.doc_id, b.pos, b.bigram
            FROM documents_v d, LATERAL bigrams(d.text) b"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# pd03 — grouped-AGGREGATE pandas UDF (Series -> scalar), exact oracle
+# ---------------------------------------------------------------------------
+
+
+def _wavg_udf():
+    @F.pandas_udf("double")
+    def wavg(cents: pd.Series, qty: pd.Series) -> float:
+        # arbitrary-precision int accumulation; ONE float division out
+        num = sum(int(c) * int(q) for c, q in zip(cents, qty))
+        den = sum(int(q) for q in qty)
+        return float(num) / float(den) if den else None
+
+    return wavg
+
+
+@query(
+    "pd03_grouped_agg_udf",
+    """SELECT l_suppkey,
+              CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS wavg_price_cents
+       FROM lineitem GROUP BY l_suppkey""",
+)
+def pd03_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per supplier via a grouped-AGGREGATE
+    pandas UDF (Series→scalar — the UDAF surface; pd01 covers grouped-MAP).
+    Same determinism recipe as pd01: money becomes exact integer cents
+    JVM-side, the UDF accumulates in Python big-ints, and one IEEE
+    division produces the double (DuckDB's BIGINT sum + divide performs
+    the identical roundings; the sum is narrowed from int128 to BIGINT
+    before the double cast to dodge DuckDB's int128→double misround).
+
+    Scale: grouped-agg pandas UDFs hash-shuffle whole groups to Python
+    workers over Arrow — no partial aggregation, so the shuffle carries
+    every row (vs built-ins' map-side combine). That's the real cost of
+    leaving the JVM: this exact statistic IS expressible as built-ins
+    (the oracle shows it) and would then combine map-side; the UDF form
+    is for algorithms that genuinely need per-group code."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    wavg = _wavg_udf()
+    return (
+        li.select(
+            "l_suppkey",
+            cents.alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("l_suppkey")
+        .agg(wavg("cents", "qty").alias("wavg_price_cents"))
     )

@@ -71,3 +71,34 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """Write a single string column as newline-delimited text — the raw-
+    corpus export format (one document per line; the synthetic corpus has
+    no embedded newlines, so no escaping layer is needed here)."""
+    df.write.mode("overwrite").text(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read newline-delimited text as a single `value` string column.
+    Line-splitting parallelizes within files (unlike multiline JSON), so
+    raw-crawl text shards scan at full width."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest opaque files (images/audio/video payloads) as rows of
+    (path, modificationTime, length, content) via the binaryFile source —
+    the entry point of the multimodal pipeline (multimodal/ takes the
+    `content` bytes from here into mapInPandas decoders).
+
+    Scale: one task per file (binary payloads can't split); at 100 TB the
+    ingest job's parallelism is the FILE COUNT, so upstream deposits
+    should shard large media. `pathGlobFilter` prunes by extension
+    without listing-then-filtering; pair with
+    `spark.sql.files.maxPartitionBytes` to pack small files per task."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
