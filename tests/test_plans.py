@@ -362,3 +362,11 @@ def test_dq01_shared_scans(spark):
     plan = plan_of(spark, "dq01_expectations")
     assert plan.count("FileScan parquet") <= 4  # orders agg, lineitem agg, FK probe+build
     assert "LeftAnti" in plan
+
+
+def test_mg01_anti_join_broadcast_feed(spark):
+    """MERGE application: the touched-key set (the feed) must broadcast
+    into the anti join — the base snapshot is never shuffled."""
+    plan = plan_of(spark, "mg01_apply_changes")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "Union" in plan

@@ -265,3 +265,51 @@ def dq01_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return melt(o_stats).unionByName(melt(li_stats)).unionByName(melt(orphans))
+
+
+# ---------------------------------------------------------------------------
+# mg01 — MERGE application: snapshot + change feed -> next snapshot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mg01_apply_changes",
+    f"""WITH old AS (SELECT o_orderkey,
+                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                              AS price
+                     FROM orders WHERE o_orderdate <= DATE '{_OLD_CUTOFF}'),
+        new AS (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CASE WHEN o_orderkey % 7 = 0
+                                   THEN CAST(1 AS DECIMAL(18,2))
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END
+                            AS DOUBLE) AS price
+                FROM orders
+                WHERE o_orderdate <= DATE '{_NEW_CUTOFF}' AND o_orderkey % 13 <> 0)
+        SELECT o_orderkey, price FROM new""",
+)
+def mg01_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, emulated relationally: take the OLD snapshot and the
+    cdc01 change feed and produce the NEXT snapshot — drop keys the feed
+    deletes or updates (one anti join), then union the feed's
+    insert/update images. The oracle is the new snapshot computed
+    directly, so the gate proves apply(old, diff(old, new)) == new —
+    the round-trip invariant a MERGE implementation owes you.
+
+    Scale: one anti join on the key plus a union — the same plan Delta's
+    MERGE lowers to for non-matched-by-source-untouched merges. Bucketed
+    snapshots make the anti join zero-Exchange; the feed is typically
+    ~1% of the snapshot, so it broadcasts. File-level pruning (rewriting
+    only files containing touched keys) is the storage-format half of
+    MERGE and lives below this dataflow."""
+    feed = cdc01_snapshot_diff(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") <= F.lit(_OLD_CUTOFF).cast("date")).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+    )
+    touched = feed.select("o_orderkey")  # delete, update, and insert keys
+    upserts = feed.filter(F.col("change_type") != "delete").select(
+        "o_orderkey", F.col("new_price").alias("price")
+    )
+    return old.join(F.broadcast(touched), "o_orderkey", "left_anti").unionByName(upserts)
