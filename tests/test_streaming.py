@@ -177,3 +177,59 @@ def test_overwrite_date_partitions_converges(spark, tmp_path):
     b2 = spark.createDataFrame([(3, day2, 3.0)], schema)
     overwrite_date_partitions(b2, out, "event_date")
     assert read_out() == [(1, day1, 1.0), (3, day2, 3.0)]
+
+
+def test_rollup_maintainer_matches_recompute_and_survives_replay(spark, tmp_path):
+    """Streaming rollup maintenance: after the stream drains, the
+    maintained per-key states must equal a full recompute bit-for-bit
+    (additive DECIMAL states — ia01's algebra), and a crash-replay of an
+    already-committed batch must be a no-op."""
+    import datetime as dt
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.rollup import RollupMaintainer
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m, 0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(i, ts(i % 60), i % 5, "click", float(i) + 0.25) for i in range(200)]
+    src = str(tmp_path / "src")
+    # several source files => several micro-batches with maxFilesPerTrigger
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(4).write.parquet(src)
+
+    roll = RollupMaintainer(str(tmp_path / "rollup"), key="user_id", amount="value")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(roll)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["user_id"]: (r["n_items"], str(r["total"]))
+        for r in roll.current(spark).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_items"], str(r["total"]))
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want  # chopped-into-batches == single recompute
+
+    # crash-replay: re-deliver the first batch; states must not change
+    first_batch = spark.createDataFrame(rows[:50], schema)
+    roll(first_batch, 0)
+    again = {
+        r["user_id"]: (r["n_items"], str(r["total"]))
+        for r in roll.current(spark).collect()
+    }
+    assert again == want
