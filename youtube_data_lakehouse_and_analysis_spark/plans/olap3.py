@@ -468,3 +468,51 @@ def rc01_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM dates LEFT JOIN orders_rc01 ON orders_rc01.o_orderdate = dates.d
            GROUP BY dates.d"""
     )
+
+
+# ---------------------------------------------------------------------------
+# a13 — equal-width histogram (two-pass: global extent, then bucket counts)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 20
+
+
+@query(
+    "a13_histogram",
+    f"""WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS c
+                       FROM orders),
+        ext AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM cents)
+        SELECT (c - lo) * {_HIST_BUCKETS} // (hi - lo + 1) AS bucket,
+               COUNT(*) AS n
+        FROM cents, ext
+        GROUP BY bucket""",
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order value in 20 buckets: pass one finds
+    the global extent, pass two assigns `(c-lo)*B/(hi-lo+1)` — all
+    integer-exact on cents, so bucket boundaries are engine-identical
+    (double width math would disagree at edges).
+
+    Scale: the extent is a 1-row aggregate broadcast into the bucketing
+    scan (a cross join against one row — Catalyst plans a broadcast
+    nested loop that is really a map-side constant); the count pass
+    partial-aggregates into at most B cells per task. Two scans total;
+    a single-pass approximation (fixed pre-agreed extent, or
+    approx-quantile edges) trades the second scan for edge drift."""
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    ext = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    # integer division on both engines (DuckDB's / is float division and
+    # its double->BIGINT cast ROUNDS, so edge cents would drift buckets)
+    bucket = F.expr(f"(c - lo) * {_HIST_BUCKETS} div (hi - lo + 1)")
+    return (
+        cents.join(F.broadcast(ext))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
