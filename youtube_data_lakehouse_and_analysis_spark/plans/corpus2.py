@@ -217,3 +217,54 @@ def fe01_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ta10 — BPE merge-pair statistic: top adjacent-pair counts
+# ---------------------------------------------------------------------------
+
+_PAIR_TOPK = 50
+
+
+@query(
+    "ta10_merge_pairs",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pairs AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS pair
+                  FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
+                  WHERE len(ws) >= 2),
+        counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+        SELECT pair, n FROM counted
+        ORDER BY n DESC, pair LIMIT {_PAIR_TOPK}""",
+)
+def ta10_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-selection statistic: count every ADJACENT symbol pair
+    across the corpus and take the top-k — each BPE training iteration
+    merges the argmax of exactly this table (here at word granularity;
+    byte/char granularity is the same plan over a different split).
+
+    Scale: pair generation is map-side; one shuffle groups by pair with
+    map-side combine (pair frequency is power-law, so partial aggregation
+    absorbs most of the volume before the exchange); the top-k is
+    TakeOrderedAndProject under a (count DESC, pair) total order. A full
+    BPE trainer iterates: apply the merge (map-side regexp), recount —
+    each iteration is this same one-shuffle job."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    pairs = (
+        docs.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(F.sequence(F.lit(0), F.size("ws") - 2)).alias("i"), "ws")
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i") + 1),
+                F.element_at("ws", F.col("i") + 2),
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_PAIR_TOPK)
+    )

@@ -163,3 +163,56 @@ def ses01_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev04 — last-touch attribution (ignore-nulls carry within one stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev04_last_touch",
+    """WITH tagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS attributed_click
+         FROM events)
+       SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+              attributed_click
+       FROM tagged WHERE event_type = 'purchase'""",
+)
+def ev04_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent preceding click (NULL if none) — the marketing-analytics
+    sibling of the as-of join (as01), done with an ignore-nulls running
+    carry instead of a join because both sides live in one stream.
+
+    Scale: one user_id exchange + one sorted pass; the carry is O(1)
+    state per user. The filter to purchases happens AFTER the window
+    (the carry needs click rows), so the shuffle carries all events —
+    at 100 TB, pre-filter to the event types that participate
+    (click/purchase) before the exchange; Catalyst can't do that
+    automatically because the CASE hides which types feed the carry."""
+    events = load(spark, sf_dir, "events")
+    # only participating types cross the shuffle (the scale note, applied)
+    ev = events.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("attributed_click", carry)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "attributed_click",
+        )
+    )
