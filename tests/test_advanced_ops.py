@@ -195,3 +195,41 @@ def test_observe_metrics_free_ride(spark):
     assert m["n_violation_1"] == 0
     plan = inst._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-order layout: per-file extents of BOTH interleaved columns must be
+    small fractions of the global extent (that's what makes min/max
+    skipping work for either predicate), whereas a single-column sort
+    leaves the secondary column's per-file extent at ~100%."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators.zorder import zorder_by
+    from .conftest import SF_DIR
+
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_custkey", (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    n_files = 16
+
+    def mean_extent_fraction(df_sorted, col):
+        path = str(tmp_path / f"probe_{col}_{df_sorted.semanticHash()}")
+        df_sorted.write.mode("overwrite").parquet(path)
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        spans = [r["span"] for r in per_file.collect()]
+        glob = df_sorted.agg(F.max(col) - F.min(col)).collect()[0][0]
+        return sum(spans) / len(spans) / glob
+
+    z = zorder_by(orders, "o_custkey", "cents", n_files)
+    single = orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions("o_custkey")
+
+    z_cents = mean_extent_fraction(z, "cents")
+    single_cents = mean_extent_fraction(single, "cents")
+    z_cust = mean_extent_fraction(z, "o_custkey")
+
+    assert single_cents > 0.9          # single-col sort: secondary dim unbounded
+    assert z_cents < 0.5 * single_cents  # z-order bounds the secondary dim...
+    assert z_cust < 0.6                  # ...while still bounding the primary
