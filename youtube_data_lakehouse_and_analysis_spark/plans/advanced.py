@@ -357,3 +357,50 @@ def sj01_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# as02 — as-of join with staleness tolerance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "as02_asof_tolerance",
+    """WITH j AS (
+         SELECT l.event_id, l.user_id, l.ts,
+                r.ts AS asof_ts, r.value AS purchase_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts)
+       SELECT event_id, user_id, ts,
+              CASE WHEN asof_ts >= ts - INTERVAL '30 minutes'
+                   THEN asof_ts END AS asof_ts,
+              CASE WHEN asof_ts >= ts - INTERVAL '30 minutes'
+                   THEN purchase_value END AS purchase_value
+       FROM j""",
+)
+def as02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute staleness bound: a match older
+    than the tolerance is nulled out — the point-in-time feature-store
+    contract ("use the latest signal, unless it has gone stale"). DuckDB
+    has no ASOF tolerance, so the oracle post-filters its native ASOF;
+    our operator nulls in the same single window pass it already makes
+    (operators/asof.py — union + carry, no join, no extra shuffle).
+
+    Scale: identical to as01 — one key exchange, one sorted carry;
+    the tolerance is a row-local comparison after the carry. Interval
+    math is exact in microseconds on both engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        tolerance="30 minutes",
+    )

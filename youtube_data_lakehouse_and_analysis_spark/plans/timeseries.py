@@ -173,3 +173,70 @@ def a10_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts03 — rolling z-score anomaly flag, integer-exact (no sqrt, no division)
+# ---------------------------------------------------------------------------
+
+_ZS_WIN = 9  # current row + 9 preceding = 10-event rolling frame
+
+
+@query(
+    "ts03_rolling_zscore",
+    f"""WITH c AS (SELECT user_id, event_id, ts,
+                          CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        rolled AS (SELECT user_id, event_id, ts, cents,
+                          COUNT(*) OVER w AS n,
+                          SUM(cents) OVER w AS s,
+                          SUM(cents * cents) OVER w AS q
+                   FROM c
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN {_ZS_WIN} PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, cents, n,
+               (n >= 5 AND
+                (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s))
+                 AS is_anomaly
+        FROM rolled""",
+)
+def ts03_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag over each user's last 10 events:
+    |x - mean| > 2*stddev, evaluated WITHOUT sqrt or division — cross-
+    multiplied to (n*x - S)^2 > 4(nQ - S^2) on integer cents (S=Σx, Q=Σx²),
+    so the decision is bit-identical on any engine (float sqrt/divide
+    would make boundary rows engine-dependent — a09's moment-sum recipe
+    applied to sliding frames). Values quantize via floor(value*100):
+    the double product is IEEE-identical on both engines, and floor —
+    unlike each engine's double→int cast — rounds the same way on both.
+    Frames shorter than 5 events abstain (cold start).
+
+    Scale: one user_id exchange + one sorted pass; ROWS frames evaluate
+    incrementally (running add/evict, O(1) per row). This is the batch
+    twin of a streaming detector over applyInPandasWithState with a
+    10-event deque per key."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_WIN, 0)
+    )
+    c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    rolled = c.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return rolled.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "n",
+        ((F.col("n") >= 5) & (dev * dev > 4 * var_n2)).alias("is_anomaly"),
+    )
