@@ -240,3 +240,51 @@ def ts03_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ((F.col("n") >= 5) & (dev * dev > 4 * var_n2)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w09 — sliding exact median (aggregate-as-window Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w09_sliding_median",
+    """WITH c AS (SELECT user_id, event_id, ts,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                  FROM events)
+       SELECT user_id, event_id,
+              median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+                AS med
+       FROM c""",
+)
+def w09_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding median of each user's last 9 event values. DuckDB
+    runs any aggregate as a window function (`median(...) OVER`); Spark
+    has no windowed percentile, so the frame is materialized with
+    collect_list, sorted, and indexed — semantics identical, including
+    the even-count mean-of-middle-two (computed as (a+b)/2.0 from exact
+    integer cents, so the double agrees bit-for-bit).
+
+    Scale: collect_list per frame is O(k) state per row with k=9 — fine
+    for small frames; for large k the scale form is a two-heap/indexable-
+    skiplist in applyInPandasWithState (streaming) or an approximate
+    KLL/t-digest sketch column. The window itself is the usual one
+    exchange + one sort."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, 0)
+    )
+    frame = F.array_sort(
+        F.collect_list(F.floor(F.col("value") * 100).cast("bigint")).over(w)
+    )
+    n = F.size(frame)
+    lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, F.floor(n / 2 + 1).cast("int"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        ((lo + hi) / 2.0).alias("med"),
+    )
