@@ -268,3 +268,48 @@ def ta10_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_PAIR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# sm04 — domain-mixture sampling: per-language keep rates by content hash
+# ---------------------------------------------------------------------------
+
+# keep 1/D of each language's documents (DoReMi-style static mixture
+# reweighting): en all, de/fr half, es quarter, zh eighth.
+_MIX_DENOM = {"en": 1, "de": 2, "fr": 2, "es": 4, "zh": 8}
+
+
+@query(
+    "sm04_source_mixing",
+    """WITH h AS (SELECT doc_id, lang,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS hv
+                  FROM documents)
+       SELECT doc_id, lang FROM h
+       WHERE hv % (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+                             WHEN 'es' THEN 4 WHEN 'zh' THEN 8 ELSE 1 END) = 0""",
+)
+def sm04_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture sampling: each language keeps a configured
+    1/D of its documents, decided by content hash (md5(doc_id) mod D) —
+    the reweighting step that shapes a training mixture (keep all English,
+    half German/French, a quarter Spanish, an eighth Chinese here).
+    Hash-based keep decisions are reproducible across runs, engines, and
+    partitionings — unlike rand()-based sampling, which none of this
+    repo's operators use.
+
+    Scale: stateless map-side filter at scan speed; changing the mixture
+    re-runs only this filter, never a shuffle. Rates finer than 1/D come
+    from `hv % 2^k < m` thresholds; dynamic mixtures (DoReMi proper)
+    re-derive D from a small per-domain weight table broadcast into the
+    same expression."""
+    docs = load(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    denom = F.when(F.col("lang") == "en", 1)
+    for lang, d in list(_MIX_DENOM.items())[1:]:
+        denom = denom.when(F.col("lang") == lang, d)
+    return docs.select("doc_id", "lang", hv.alias("hv")).filter(
+        F.col("hv") % denom.otherwise(1) == 0
+    ).select("doc_id", "lang")

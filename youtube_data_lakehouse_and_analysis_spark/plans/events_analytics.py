@@ -216,3 +216,63 @@ def ev04_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_click",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev05 — time-bounded conversion: purchases with a click in the prior hour
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev05_timed_conversion",
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+        converted AS (
+          SELECT p.user_id, p.event_id FROM p
+          WHERE EXISTS (SELECT 1 FROM events c
+                        WHERE c.event_type = 'click'
+                          AND c.user_id = p.user_id
+                          AND c.ts >= p.ts - INTERVAL '1 hour'
+                          AND c.ts < p.ts))
+        SELECT p.user_id,
+               COUNT(*) AS n_purchases,
+               COUNT(c.event_id) AS n_converted
+        FROM p LEFT JOIN converted c USING (user_id, event_id)
+        GROUP BY p.user_id""",
+)
+def ev05_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion within a deadline: a purchase "converts" if the
+    same user clicked within the preceding hour (strictly before). The
+    time-bounded variant of the ev01 funnel — attribution windows, not
+    lifetime ordering.
+
+    Scale: the EXISTS lowers to a LEFT SEMI join whose EQUI key is
+    user_id; the hour bound rides as a join-condition filter, so this is
+    one user-keyed shuffle (clicks+purchases only — the type filters push
+    to the scans), never an interval cross-product. Exactly the
+    stream-stream interval join's batch twin (evj01) with per-user
+    aggregation on top."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("ts")),
+            "left_semi",
+        )
+        .select("user_id", "event_id")
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        p.join(converted, ["user_id", "event_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("conv").alias("n_converted"),
+        )
+    )

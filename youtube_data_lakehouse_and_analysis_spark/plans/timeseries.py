@@ -288,3 +288,42 @@ def w09_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ((lo + hi) / 2.0).alias("med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# po01 — period-over-period growth (month revenue + MoM ratio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "po01_mom_growth",
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           AS revenue
+                  FROM orders GROUP BY 1)
+       SELECT CAST(month AS DATE) AS month, revenue,
+              (revenue - LAG(revenue) OVER (ORDER BY month))
+                / LAG(revenue) OVER (ORDER BY month) AS mom_growth
+       FROM m""",
+)
+def po01_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth — the period-over-
+    period BI staple. Revenue sums are exact DECIMAL cast to double;
+    growth is one IEEE division of those identical doubles, so ratios
+    match bit-for-bit; the first month's growth is NULL. (Spark's `trunc`
+    returns DATE, matching DuckDB's date_trunc-cast — their raw
+    date_trunc types differ.)
+
+    Scale: the aggregation collapses the fact table to one row per month
+    BEFORE the window, so the single-partition lag window is a few
+    hundred rows at any fact volume — the only safe use of an
+    unpartitioned window (see SCALE.md on w-series)."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "revenue", ((F.col("revenue") - prev) / prev).alias("mom_growth")
+    )
