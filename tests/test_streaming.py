@@ -5,6 +5,8 @@ must collapse duplicates."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -233,3 +235,68 @@ def test_rollup_maintainer_matches_recompute_and_survives_replay(spark, tmp_path
         for r in roll.current(spark).collect()
     }
     assert again == want
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: after the stream drains, each
+    user's latest emitted running totals must equal the batch
+    aggregation over the same data (exact integer cents).
+
+    The TWS runtime speaks protobuf between the JVM and the Python state
+    server; containers without the protobuf package can't run it (the
+    classic applyInPandasWithState path in streaming/stateful.py has no
+    such dependency and stays fully tested)."""
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.tws import running_totals_tws
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m % 60, 0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(i, ts(i), i % 4, "click", float(i) + 0.5) for i in range(120)]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = running_totals_tws(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last emission per user wins (update mode re-emits running values)
+    emitted = spark.sql(
+        """SELECT user_id, n_events, total_cents FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC) AS rn
+             FROM tws_out) WHERE rn = 1"""
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in emitted}
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
