@@ -370,3 +370,12 @@ def test_mg01_anti_join_broadcast_feed(spark):
     plan = plan_of(spark, "mg01_apply_changes")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "Union" in plan
+
+
+def test_j16_lateral_decorrelates(spark):
+    """Correlated LATERAL top-n: Catalyst must de-correlate to a window
+    rank + one hash join — never a per-outer-row re-execution (which
+    would surface as a nested-loop/cartesian plan)."""
+    plan = plan_of(spark, "j16_lateral_topn")
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

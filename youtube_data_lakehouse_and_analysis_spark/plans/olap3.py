@@ -516,3 +516,35 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# j16 — correlated LATERAL top-n join
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+
+
+@query("j16_lateral_topn", _LATERAL_SQL)
+def j16_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation, written as a
+    correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-standard
+    spelling of w01's top-k-per-group. Catalyst de-correlates the lateral
+    into a window/rank over a single join (DecorrelateInnerQuery) rather
+    than executing the subquery once per outer row; DuckDB runs the same
+    text natively as the oracle.
+
+    Scale: after de-correlation this is w01's plan — one shuffle on the
+    correlation key, per-group rank, no per-row re-execution. The LIMIT
+    is k-bounded per group, so the lateral's output is |nations|×2 rows
+    regardless of customer volume. (The tiebreak on c_custkey makes the
+    top-2 a total order — engine-identical under ties.)"""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
