@@ -327,3 +327,36 @@ def po01_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "month", "revenue", ((F.col("revenue") - prev) / prev).alias("mom_growth")
     )
+
+
+# ---------------------------------------------------------------------------
+# w10 — time-interval RANGE frame (rolling 1-hour activity)
+# ---------------------------------------------------------------------------
+
+_W10_SQL = """
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+
+@query("w10_time_range_frame", _W10_SQL)
+def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour activity per user via a time-interval RANGE frame —
+    the frame is bounded by the ORDER-BY VALUE (ts minus one hour), not a
+    row count, so dense bursts widen it and quiet periods shrink it; w09's
+    ROWS frame is the fixed-count sibling. RANGE includes timestamp peers
+    by definition, so equal timestamps need no tiebreak for the frame to
+    be deterministic (the aggregates are count/sum — order-free).
+
+    Scale: same one-exchange-one-sort profile as every window; the
+    two-pointer frame evaluation keeps running aggregates with O(1)
+    amortized work per row (eviction as the lower bound advances). This
+    is the batch twin of a sliding stream window (st02) evaluated at
+    event granularity instead of slide granularity."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_W10_SQL)
