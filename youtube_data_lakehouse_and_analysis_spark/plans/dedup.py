@@ -190,3 +190,71 @@ def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# dd11 — edit-distance verification of LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 200  # verify on a fixed prefix: O(P^2) DP per pair, bounded
+
+
+@query(
+    "dd11_edit_distance_verify",
+    f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandkey a
+          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(substring(da.text, 1, {_ED_PREFIX}),
+                           substring(db.text, 1, {_ED_PREFIX})) AS edit_dist,
+               (levenshtein(substring(da.text, 1, {_ED_PREFIX}),
+                            substring(db.text, 1, {_ED_PREFIX})) * 10
+                  <= {_ED_PREFIX}) AS is_dup
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b""",
+)
+def dd11_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verification stage that closes the fuzzy-dedup pipeline:
+    LSH candidate pairs (dd03's plan) are re-checked with a real edit
+    distance on a 200-char prefix; a pair is confirmed when the distance
+    is ≤ 10% of the prefix (cross-multiplied — no division). MinHash
+    banding RECALLS candidates cheaply; this stage buys PRECISION with
+    O(P²) work on only the surviving pairs.
+
+    Scale: the candidate set is ~(true dups + banding false positives) —
+    orders of magnitude smaller than all-pairs — so the two text lookups
+    are key joins against the corpus and the DP cost is bounded by the
+    fixed prefix. At 100 TB the prefix join pulls only the text column,
+    and a longer confirmation (full-text, token-level) runs on the
+    handful of pairs this stage still leaves uncertain."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    cand = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, _ED_PREFIX).alias("ta"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, _ED_PREFIX).alias("tb"),
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            (dist * 10 <= F.lit(_ED_PREFIX)).alias("is_dup"),
+        )
+    )

@@ -336,3 +336,44 @@ def f15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("hi", "lo")).cast("bigint").alias("n_any"),
         F.size(F.array_except("hi", "lo")).cast("bigint").alias("n_only_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s05 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s05_bag_set_ops",
+    """WITH a AS (SELECT o_custkey FROM orders
+                  WHERE o_orderdate <= DATE '1997-12-31'),
+        b AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= DATE '1997-01-01'),
+        x AS (SELECT o_custkey, 'except_all' AS op FROM
+                (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)),
+        i AS (SELECT o_custkey, 'intersect_all' AS op FROM
+                (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b))
+        SELECT op, o_custkey, COUNT(*) AS n
+        FROM (SELECT * FROM x UNION ALL SELECT * FROM i)
+        GROUP BY op, o_custkey""",
+)
+def s05_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics: a customer with 5
+    orders in window A and 2 in window B survives EXCEPT ALL 3 times and
+    INTERSECT ALL twice (the DISTINCT forms in s03 lose multiplicity).
+    Output is (op, key, multiplicity) so the bag contents hash stably.
+
+    Scale: Catalyst implements both as a single hash aggregation carrying
+    two counts per key and re-expanding (generate) to the surviving
+    multiplicity — one shuffle on the key, never a join; the window
+    predicates push to both scans."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(
+        F.col("o_orderdate") <= F.lit("1997-12-31").cast("date")
+    ).select("o_custkey")
+    b = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    ).select("o_custkey")
+    x = a.exceptAll(b).select("o_custkey", F.lit("except_all").alias("op"))
+    i = a.intersectAll(b).select("o_custkey", F.lit("intersect_all").alias("op"))
+    return x.unionByName(i).groupBy("op", "o_custkey").agg(F.count("*").alias("n"))
