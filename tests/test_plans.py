@@ -379,3 +379,24 @@ def test_j16_lateral_decorrelates(spark):
     plan = plan_of(spark, "j16_lateral_topn")
     assert "Window" in plan and "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """Join strategy hints are part of the tuning surface: SHUFFLE_HASH
+    must produce a ShuffledHashJoin and MERGE a SortMergeJoin on the same
+    query (broadcast disabled so the optimizer has a real choice)."""
+    from pyspark.sql import functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders")
+        sh = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        mg = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
