@@ -276,3 +276,43 @@ def ev05_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("conv").alias("n_converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev06 — behavioral transition matrix (Markov bigram counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev06_transition_matrix",
+    """WITH seq AS (
+         SELECT event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type""",
+)
+def ev06_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: how often each event type
+    follows each other type within a user's timeline — the empirical
+    Markov matrix behind next-action prediction and anomalous-flow
+    detection (row-normalizing to probabilities is one division per cell
+    on the K×K result).
+
+    Scale: one user_id exchange feeds the lag window; the transition
+    reduce is K² cells (tiny for any real event taxonomy), so the second
+    aggregation's shuffle carries at most K² rows per task after map-side
+    combine. Same single-shuffle family as ses01/ev04 — per-user
+    sequence ops never need a global sort."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type"), F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
