@@ -125,3 +125,50 @@ def test_asof_join_invariant(spark, events):
     for lid, lk, lts in lrows:
         cand = [rts for rk, rts, _ in rrows if rk == lk and rts <= lts]
         assert got[lid] == (max(cand) if cand else None)
+
+
+def test_sessionization_invariant_to_input_order(spark):
+    """ses01's sessions are a function of (user, sorted events) — the
+    result must be identical however the input rows are partitioned or
+    ordered on arrival (the property that makes the oracle gate and any
+    cluster run agree)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from .conftest import SF_DIR
+
+    fn = entrymod.queries()["ses01_gap_sessions"]
+    base = fn(spark, SF_DIR)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["session_seq"], r["session_start"], r["n_events"])
+            for r in df.collect()
+        )
+
+    want = canon(base)
+    # same query over a deliberately re-shuffled copy of the input
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from pyspark.sql import Window
+
+    ev = load(spark, SF_DIR, "events").repartition(17, "event_type").cache()
+    ev.createOrReplaceTempView("_scrambled_events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | (us - prev > 30 * 60 * 1_000_000), 1).otherwise(0)
+    got = canon(
+        ev.select(
+            "user_id",
+            "ts",
+            F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    ev.unpersist()
+    assert got == want
