@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,7 +77,10 @@ def _compacted(spark: SparkSession, src: str, name: str, raw: DataFrame) -> Data
         ).hexdigest()[:12]
         dest = os.path.join(_repo_root(), "spark-warehouse", "optimized", f"{name}-{key}")
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-            tmp = f"{dest}.tmp-{os.getpid()}"
+            # unique per attempt: concurrent THREADS of one process must
+            # not share a tmp dir either (same-path concurrent writes are
+            # undefined), so pid alone is not enough
+            tmp = f"{dest}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             raw.repartition(n_files).write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, dest)
