@@ -527,3 +527,40 @@ def p02_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (measure, value)",
     )
+
+
+@query(
+    "p03_pivot_multi_agg",
+    """SELECT user_id % 10 AS user_bucket,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+              COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                       FILTER (WHERE event_type = 'click'), 0) AS click_cents,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+              COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cents
+       FROM events GROUP BY user_id % 10""",
+)
+def p03_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + exact cents sum
+    for each pivoted event type) — Spark names the output columns
+    `<value>_<alias>`, so both sides alias to the same
+    `{type}_{n,cents}` scheme. Explicit value list as in p01.
+
+    Scale: still one hash aggregation — each extra aggregate adds a
+    column of state per group cell, not a pass; integer cents keep the
+    sums engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    pivoted = (
+        ev.select((F.col("user_id") % 10).alias("user_bucket"), "event_type", cents.alias("cents"))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    return pivoted.select(
+        "user_bucket",
+        F.coalesce("click_n", F.lit(0)).alias("click_n"),
+        F.coalesce("click_cents", F.lit(0)).alias("click_cents"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
+    )
