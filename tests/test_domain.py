@@ -129,3 +129,20 @@ def test_reingest_idempotent(spark, warehouse):
     app.py:392-394; we overwrite partitions)."""
     write_bronze(warehouse["raw"], warehouse["bronze_dir"])
     assert read_bronze(spark, warehouse["bronze_dir"], "video").count() == 4
+
+
+def test_present_bounded_display_and_render(spark, capsys):
+    """K4 presentation adapter: to_display caps driver-side
+    materialization (a 100 TB result can never be collected whole), and
+    render falls back to console output without streamlit."""
+    from youtube_data_lakehouse_and_analysis_spark import present
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from .conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    pdf = present.to_display(li, max_rows=7)
+    assert len(pdf) == 7  # the cap, not the table size
+
+    present.render(li.limit(3), title="smoke")
+    out = capsys.readouterr().out
+    assert "smoke" in out
