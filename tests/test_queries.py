@@ -41,3 +41,23 @@ def test_q5_tie_semantics(spark):
     sa = sorted(map(tuple, a.collect()))
     sb = sorted(map(tuple, b.collect()))
     assert sa == sb
+
+
+def test_reference_workload_sql_twins(spark):
+    """S8/C4 (SURVEY §2): the reference workload must be runnable through
+    BOTH APIs — every q-series oracle SQL is ANSI enough to execute
+    unmodified via spark.sql over the registered views, and its result
+    must equal the DataFrame form's (same engine, so plain value
+    equality; the cross-engine check is test_queries' oracle gate)."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for name in sorted(q for q in QUERIES if q.startswith("q") and q in ORACLE):
+        df_form = QUERIES[name](spark, SF_DIR)
+        sql_form = spark.sql(ORACLE[name])
+        assert canon(df_form) == canon(sql_form), name
