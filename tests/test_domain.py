@@ -146,3 +146,26 @@ def test_present_bounded_display_and_render(spark, capsys):
     present.render(li.limit(3), title="smoke")
     out = capsys.readouterr().out
     assert "smoke" in out
+
+
+def test_cached_table_serves_repeat_queries(spark):
+    """The dashboard pattern (the reference re-runs its 10 queries on
+    every button press, app.py:599-631): caching the hot table must turn
+    later scans into InMemoryTableScan with identical results — repeat
+    analytics stop paying the storage read."""
+    import pyspark.sql.functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from .conftest import SF_DIR
+
+    orders = load(spark, SF_DIR, "orders")
+    before = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    orders.cache()
+    try:
+        orders.count()  # materialize
+        df = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, before))
+    finally:
+        orders.unpersist()
