@@ -278,3 +278,40 @@ def f16_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_variant"),
         F.try_variant_get(v, "$.nope", "bigint").alias("k_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f17 — date arithmetic breadth (calendar functions for warehousing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f17_date_breadth",
+    """SELECT o_orderkey,
+              last_day(o_orderdate) AS month_end,
+              CAST(o_orderdate + INTERVAL '3 months' AS DATE) AS plus3m,
+              CAST(quarter(o_orderdate) AS INT) AS q,
+              CAST(CASE WHEN dayofweek(o_orderdate) = 0 THEN 7
+                        ELSE dayofweek(o_orderdate) END AS INT) AS iso_dow
+       FROM orders""",
+)
+def f17_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar functions a warehouse leans on daily: month-end,
+    month-offset arithmetic, quarter, and day-of-week. DOW numbering is a
+    classic cross-engine trap — DuckDB counts Sunday=0, Spark's dayofweek
+    Sunday=1 — so both sides normalize to ISO (Mon=1..Sun=7) explicitly;
+    never ship an unaligned dow to a consumer.
+
+    Scale: stateless map-side expressions in whole-stage codegen, cost
+    invisible next to the scan."""
+    orders = load(spark, sf_dir, "orders")
+    # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    spark_dow = F.dayofweek("o_orderdate")
+    iso = F.when(spark_dow == 1, 7).otherwise(spark_dow - 1)
+    return orders.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        iso.cast("int").alias("iso_dow"),
+    )
