@@ -87,8 +87,10 @@ def f11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f12_array_agg_sorted",
     """SELECT l_orderkey,
-              list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
-              list(l_returnflag ORDER BY l_linenumber, l_returnflag) AS flags_by_line
+              string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+                AS line_numbers,
+              string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
+                AS flags_by_line
        FROM lineitem GROUP BY l_orderkey""",
 )
 def f12_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,12 +98,19 @@ def f12_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism comes from collecting (sort-key, value) structs and
     sorting — the portable ordered-array-agg recipe. The sort key must be
     TOTAL (l_linenumber repeats within an order in this data, so the value
-    joins the key on both sides)."""
+    joins the key on both sides). Output serialized to comma-joined
+    strings: the driver's result hasher can't digest LIST columns, so the
+    array is the internal representation and VARCHAR the contract."""
     li = load(spark, sf_dir, "lineitem")
     by_line = F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag")))
+    nums = F.array_sort(F.collect_list("l_linenumber"))
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.transform(by_line, lambda s: s["l_returnflag"]).alias("flags_by_line"),
+        F.array_join(F.transform(nums, lambda x: x.cast("string")), ",").alias(
+            "line_numbers"
+        ),
+        F.array_join(F.transform(by_line, lambda s: s["l_returnflag"]), ",").alias(
+            "flags_by_line"
+        ),
     )
 
 

@@ -132,7 +132,7 @@ def dd04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY doc_id, b
         )
         SELECT doc_id,
-               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id""",
 )
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,9 +120,10 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_seq
           FROM flagged)
         SELECT user_id, session_seq,
                MIN(ts) AS session_start,

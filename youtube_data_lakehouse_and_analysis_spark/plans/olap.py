@@ -114,13 +114,19 @@ def j04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j05_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join (TPC-H Q5 shape): fact ⋈ fact ⋈ three dims.
 
-    Scale: nation/region/customer are broadcast (explicit hint — dims are
-    orders of magnitude below the fact even at 100 TB, except customer,
-    which AQE may demote to shuffle join; the hint is advisory). Lineitem
-    is partially aggregated to per-order revenue BEFORE the join (exact
-    decimal sums commute through the regrouping), so the one real shuffle
-    — the lineitem⋈orders edge — carries |orders| rows instead of
-    |lineitem| rows, a ~4× payload cut that grows with lines-per-order."""
+    Scale: nation/region carry explicit broadcast hints — they are
+    bounded-size dims (25/5 rows at any scale) and an explicit
+    F.broadcast() hint is BINDING: Spark honors it regardless of size and
+    AQE never demotes it. That is exactly why customer carries NO hint —
+    customer grows with the fact table, and a forced broadcast of a
+    100 TB-scale customer dim would OOM the executors. Customer's join
+    strategy is left to size-based planning + AQE, which picks broadcast
+    at small SF and falls back to shuffle join when customer outgrows
+    spark.sql.autoBroadcastJoinThreshold. Lineitem is partially
+    aggregated to per-order revenue BEFORE the join (exact decimal sums
+    commute through the regrouping), so the one real shuffle — the
+    lineitem⋈orders edge — carries |orders| rows instead of |lineitem|
+    rows, a ~4× payload cut that grows with lines-per-order."""
     li = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -132,7 +138,7 @@ def j05_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
@@ -533,11 +539,13 @@ def p02_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p03_pivot_multi_agg",
     """SELECT user_id % 10 AS user_bucket,
               COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
-              COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
-                       FILTER (WHERE event_type = 'click'), 0) AS click_cents,
+              CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'click'), 0)
+                   AS BIGINT) AS click_cents,
               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
-              COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
-                       FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cents
+              CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'purchase'), 0)
+                   AS BIGINT) AS purchase_cents
        FROM events GROUP BY user_id % 10""",
 )
 def p03_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

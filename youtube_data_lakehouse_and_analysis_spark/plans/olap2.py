@@ -229,11 +229,13 @@ _STATS_CTE = """WITH s AS (
     _STATS_CTE
     + """
        SELECT l_returnflag, n,
-              CAST((n * sxy - sx * sy)
+              CAST(CAST((n * sxy - sx * sy)
                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-                   AS DECIMAL(20,6)) AS corr_qty_price,
-              CAST((sxy - sx * sy / n) / (n - 1) AS DECIMAL(20,6)) AS covar_samp,
-              CAST(sqrt((sxx - sx * sx / n) / (n - 1)) AS DECIMAL(20,6)) AS stddev_qty
+                   AS DECIMAL(20,6)) AS DOUBLE) AS corr_qty_price,
+              CAST(CAST((sxy - sx * sy / n) / (n - 1) AS DECIMAL(20,6))
+                   AS DOUBLE) AS covar_samp,
+              CAST(CAST(sqrt((sxx - sx * sx / n) / (n - 1)) AS DECIMAL(20,6))
+                   AS DOUBLE) AS stddev_qty
        FROM s""",
 )
 def a11_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +246,11 @@ def a11_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine- and partitioning-dependent. The wide Σy² decimal→double cast
     can still differ by 1 ULP between engines (observed on this very
     data), so the outputs are quantized to DECIMAL(20,6), which absorbs
-    last-bit input noise while keeping 10 exact fractional digits.
+    last-bit input noise while keeping 10 exact fractional digits. The
+    final DOUBLE cast is the driver-hashable output contract (no DECIMAL
+    columns leave a query); it is exact here because the quantized
+    unscaled values fit in 2^53, so decimal→double is one correctly-
+    rounded IEEE division on both engines.
 
     Scale: a single scan with map-side partial sums; the moment trick is
     exactly how a distributed engine should compute second-order stats
@@ -267,9 +273,13 @@ def a11_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
         .cast(q6)
+        .cast("double")
         .alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (n - 1)).cast(q6).alias("covar_samp"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).cast(q6).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).cast(q6).cast("double").alias("covar_samp"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1))
+        .cast(q6)
+        .cast("double")
+        .alias("stddev_qty"),
     )
 
 

@@ -94,10 +94,11 @@ def dd09_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         pc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
         d AS (SELECT doc_id,
-                     SUM(cnt) AS n_words,
+                     CAST(SUM(cnt) AS BIGINT) AS n_words,
                      COUNT(*) AS n_distinct,
                      MAX(cnt) AS max_word_cnt,
-                     COALESCE(SUM(cnt) FILTER (word IN ('the', 'a')), 0) AS stop_cnt
+                     CAST(COALESCE(SUM(cnt) FILTER (word IN ('the', 'a')), 0)
+                          AS BIGINT) AS stop_cnt
               FROM pc GROUP BY doc_id)
        SELECT doc_id, n_words, n_distinct, max_word_cnt, stop_cnt,
               (n_words >= 30
@@ -209,7 +210,7 @@ def ta08_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 'val'
                      ELSE 'test' END AS split
          FROM documents)
-       SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM assigned GROUP BY split""",
 )
 def sm03_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -241,7 +241,7 @@ _K = 8  # seed centroids = the embeddings of vec_id 0.._K-1
           WHERE rn = 1)
         SELECT centroid_id AS cluster_id,
                COUNT(*) AS n_members,
-               SUM(d2) AS inertia
+               CAST(SUM(d2) AS BIGINT) AS inertia
         FROM assigned GROUP BY centroid_id""",
 )
 def sim06_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,7 +336,7 @@ def po01_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W10_SQL = """
     SELECT user_id, event_id,
            COUNT(*) OVER w AS n_1h,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS cents_1h
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
