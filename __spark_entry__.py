@@ -25,8 +25,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q05_groupwise_max"](spark, "/root/testdata/sf0.001")
 
 
+# The driver correctness gate samples the FIRST 50 entries of queries()
+# in dict order.  Rounds 1-3 always presented the same registration-order
+# prefix, so 108 of 158 queries never received a driver correctness row.
+# _SAMPLE_PRIORITY front-loads 50 never-yet-sampled queries (TPC-H suite,
+# window functions, aggregate breadth, set ops, pivots, similarity and
+# text-analysis representatives); the remaining names follow in
+# registration order, so queries() still exposes the full catalog.
+_SAMPLE_PRIORITY = [
+    # TPC-H derived suite (plans/tpch.py) — never driver-sampled before r4
+    "h02_best_supplier_per_part", "h04_order_priority_check",
+    "h06_forecast_revenue", "h07_volume_shipping", "h08_market_share",
+    "h09_product_profit", "h10_returned_items", "h11_important_stock",
+    "h12_priority_by_status", "h13_customer_distribution",
+    "h14_promo_revenue", "h15_top_supplier", "h16_parts_supplier_counts",
+    "h19_disjunctive_revenue", "h20_potential_promotion",
+    "h21_waiting_suppliers", "h22_idle_rich_customers",
+    # window functions
+    "w01_topk_per_group", "w02_running_sum", "w03_lag_lead",
+    "w04_rank_flavors", "w05_sliding_avg", "w07_range_frame",
+    "w08_ntile_buckets", "w09_sliding_median", "w10_time_range_frame",
+    # aggregate breadth
+    "a01_pricing_summary", "a02_count_distinct", "a04_rollup", "a05_cube",
+    "a06_having", "a07_minmax_stats", "a08_grouping_sets",
+    "a09_exact_moments", "a10_mode_per_user", "a11_corr_stats",
+    "a12_grouping_id", "a13_histogram",
+    # set operations and pivots
+    "s01_union_all", "s02_intersect", "s03_except", "s04_union_distinct",
+    "s05_bag_set_ops", "p01_pivot", "p02_unpivot", "p03_pivot_multi_agg",
+    # similarity + text-analysis representatives
+    "sim01_bruteforce_topk", "sim02_lsh_ann_topk",
+    "ta01_token_stats", "ta05_bpe_token_count",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    ordered = {name: QUERIES[name] for name in _SAMPLE_PRIORITY}
+    for name, fn in QUERIES.items():
+        ordered.setdefault(name, fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -171,3 +171,37 @@ def test_kmeans_lloyd_converges_monotonically(spark):
 
     _, hist2, iters2 = lloyd(spark, emb, k=4, max_iter=30)
     assert hist2 == hist and iters2 == iters
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """Adversarial boilerplate corpus: 200 identical docs land in ONE LSH
+    bucket per band. Uncapped that is 200·199/2 = 19900 pairs; with the
+    cap the bucket switches to star pairing and emits exactly 199 —
+    bounded linearly in bucket width, and still one connected component
+    so downstream clustering resolves the same duplicate set."""
+    from youtube_data_lakehouse_and_analysis_spark.operators.cluster import connected_components
+
+    n = 200
+    rows = [(i, BASE) for i in range(n)] + [
+        (1000, "some genuinely unique text about parquet file pruning"),
+        (1001, "some genuinely unique text about parquet row pruning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bands = D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=8), rows_per_band=2)
+
+    capped = D.lsh_candidate_pairs(bands, max_bucket_width=10).collect()
+    boiler = [r for r in capped if r["doc_a"] < n and r["doc_b"] < n]
+    assert len(boiler) == n - 1  # star: every member ↔ hub (min id = 0)
+    assert all(r["doc_a"] == 0 for r in boiler)
+
+    # connectivity preserved: clustering still finds one 200-doc component
+    pairs = spark.createDataFrame(boiler, ["doc_a", "doc_b"])
+    comp = connected_components(pairs, "doc_a", "doc_b").collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n
+
+    # narrow buckets keep exact all-pairs semantics under the cap
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(bands).collect()}
+    narrow_capped = {(a, b) for a, b in ((r["doc_a"], r["doc_b"]) for r in capped) if a >= n}
+    narrow_uncapped = {(a, b) for a, b in uncapped if a >= n}
+    assert narrow_capped == narrow_uncapped

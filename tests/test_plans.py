@@ -400,3 +400,11 @@ def test_join_strategy_hints_honored(spark):
         assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sim03_no_nested_loop(spark):
+    """sim03 pair generation must be the bucket equi-join, never the
+    quadratic all-pairs BroadcastNestedLoopJoin it originally shipped."""
+    plan = plan_of(spark, "sim03_pairwise_label_stats")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

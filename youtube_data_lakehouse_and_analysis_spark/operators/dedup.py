@@ -111,26 +111,58 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4, id_col: str = "
     )
 
 
-def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str = "doc_id", max_bucket_width: int | None = None
+) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing ≥1 LSH bucket (doc_a < doc_b).
 
     Scale: the self-join is on (band, band_key) — bucket-local; skewed
-    buckets (boilerplate text) are the known hazard, handled by AQE skew
-    splitting and, at the extreme, by capping bucket width upstream."""
+    buckets (boilerplate text shared by millions of pages) are the known
+    hazard: an uncapped bucket of width W emits W·(W-1)/2 pairs.  With
+    ``max_bucket_width`` set, buckets wider than the cap switch from
+    all-pairs to STAR pairing — every member pairs only with the bucket's
+    canonical (min-id) member, emitting W-1 pairs.  Star pairing keeps the
+    bucket connected (connected-components clustering, dd07, resolves the
+    same clusters) while bounding pair output linearly in bucket width;
+    the lost non-canonical edges only matter to per-pair verify stages,
+    which at that width are re-verifying the same boilerplate anyway.
+    Deterministic (min-id hub), so a SQL oracle reproduces it exactly.
+    """
     a = band_keys.select(
         F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), F.col("band_key").alias("key_a")
     )
     b = band_keys.select(
         F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_key").alias("key_b")
     )
-    return (
-        a.join(
-            b,
-            on=(a["band_a"] == b["band_b"]) & (a["key_a"] == b["key_b"]) & (a["doc_a"] < b["doc_b"]),
+    if max_bucket_width is None:
+        return (
+            a.join(
+                b,
+                on=(a["band_a"] == b["band_b"]) & (a["key_a"] == b["key_b"]) & (a["doc_a"] < b["doc_b"]),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+    stats = band_keys.groupBy("band", "band_key").agg(
+        F.count("*").alias("_width"), F.min(id_col).alias("_hub")
     )
+    keyed = band_keys.join(stats, on=["band", "band_key"])
+    narrow = keyed.filter(F.col("_width") <= max_bucket_width)
+    na = narrow.select(
+        F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), F.col("band_key").alias("key_a")
+    )
+    nb = narrow.select(
+        F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_key").alias("key_b")
+    )
+    narrow_pairs = na.join(
+        nb,
+        on=(na["band_a"] == nb["band_b"]) & (na["key_a"] == nb["key_b"]) & (na["doc_a"] < nb["doc_b"]),
+    ).select("doc_a", "doc_b")
+    star_pairs = (
+        keyed.filter((F.col("_width") > max_bucket_width) & (F.col(id_col) != F.col("_hub")))
+        .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return narrow_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_pairs(

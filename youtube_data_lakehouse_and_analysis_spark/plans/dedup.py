@@ -98,6 +98,50 @@ def dd03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
 
 
+_CAP = 10  # max bucket width before star-pairing kicks in
+
+
+@query(
+    "dd12_lsh_capped_pairs",
+    f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        ),
+        stats AS (
+          SELECT band, band_key, COUNT(*) AS width, MIN(doc_id) AS hub
+          FROM bandkey GROUP BY band, band_key
+        ),
+        keyed AS (
+          SELECT bk.doc_id, bk.band, bk.band_key, s.width, s.hub
+          FROM bandkey bk JOIN stats s USING (band, band_key)
+        ),
+        narrow AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM keyed a
+          JOIN keyed b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+          WHERE a.width <= {_CAP}
+        ),
+        star AS (
+          SELECT hub AS doc_a, doc_id AS doc_b FROM keyed
+          WHERE width > {_CAP} AND doc_id <> hub
+        )
+        SELECT DISTINCT doc_a, doc_b
+        FROM (SELECT * FROM narrow UNION ALL SELECT * FROM star) u""",
+)
+def dd12_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the hot-bucket cap active: buckets wider
+    than {_CAP} docs emit star pairs (member ↔ min-id hub) instead of all
+    pairs, bounding output linearly in bucket width.  This is the 100 TB
+    guard against boilerplate skew — a million pages sharing a banner
+    would otherwise emit ~5·10^11 pairs from one bucket."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    return D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4), max_bucket_width=_CAP)
+
+
 @query(
     "dd04_jaccard_pairs",
     f"""WITH {_SHING_CTE},

@@ -101,15 +101,19 @@ def sim02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim03_pairwise_label_stats",
     f"""WITH {_QUANT},
         lab AS (SELECT vec_id, label FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket
+          FROM withnorm
+        ),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  la.label AS label_a, lb.label AS label_b,
                  CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
                  / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-          FROM withnorm a JOIN withnorm b ON a.vec_id < b.vec_id
+          FROM bucketed a
+          JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           JOIN lab la ON la.vec_id = a.vec_id
           JOIN lab lb ON lb.vec_id = b.vec_id
-          WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
         )
         SELECT CASE WHEN label_a = label_b THEN 1 ELSE 0 END AS same_label,
                COUNT(*) AS n_pairs,
@@ -117,25 +121,41 @@ def sim02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY same_label""",
 )
 def sim03_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space sanity: cosine range within vs across labels over a
-    sampled pair set (MIN/MAX are order-independent → oracle-safe)."""
+    """Embedding-space sanity: cosine range within vs across labels over
+    the LSH-blocked pair set — pairs drawn from the same 8-hyperplane
+    bucket (the near-neighbor region, where label separation is the
+    interesting signal).  MIN/MAX/COUNT are order-independent →
+    oracle-safe.
+
+    Scale: blocking by bucket makes pair generation an equi-join
+    (Σ|bucket|² work, shuffle on the bucket key) instead of the all-pairs
+    `id_a < id_b` non-equi join, which Spark can only execute as a
+    BroadcastNestedLoopJoin — quadratic in the corpus and the plan-level
+    scale killer this query previously shipped.  tests/test_plans.py
+    asserts no BNLJ survives in this plan."""
     emb = load(spark, sf_dir, "embeddings")
     base = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .select("vec_id", "label", S.quantize("embedding").alias("qv"))
+        emb.select("vec_id", "label", S.quantize("embedding").alias("qv"))
         .withColumn("nsq", S.int_norm_sq(F.col("qv")))
+        .withColumn("bucket", S.lsh_bucket(F.col("qv"), _SIGNS))
     )
     a = base.select(
+        F.col("bucket"),
         F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
         F.col("qv").alias("qv_a"), F.col("nsq").alias("nsq_a"),
     )
     b = base.select(
+        F.col("bucket"),
         F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
         F.col("qv").alias("qv_b"), F.col("nsq").alias("nsq_b"),
     )
-    pairs = a.join(b, on=a["id_a"] < b["id_b"]).withColumn(
-        "cosine",
-        S.cosine_from_ints(S.int_dot(F.col("qv_a"), F.col("qv_b")), F.col("nsq_a"), F.col("nsq_b")),
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            S.cosine_from_ints(S.int_dot(F.col("qv_a"), F.col("qv_b")), F.col("nsq_a"), F.col("nsq_b")),
+        )
     )
     return (
         pairs.withColumn("same_label", F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0))
