@@ -26,36 +26,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Rounds 1-3 always presented the same registration-order
-# prefix, so 108 of 158 queries never received a driver correctness row.
-# _SAMPLE_PRIORITY front-loads 50 never-yet-sampled queries (TPC-H suite,
-# window functions, aggregate breadth, set ops, pivots, similarity and
-# text-analysis representatives); the remaining names follow in
-# registration order, so queries() still exposes the full catalog.
+# in dict order.  Rounds 1-3 graded the same registration-order prefix
+# (50 names); round 4 front-loaded 50 fresh ones.  Round 5 rotates again:
+# 45 of the 59 still-never-sampled queries (full join suite, pandas/UDTF,
+# streaming batch-twins, time-series, text-analysis remainder, sampling,
+# multimodal, dd12's hot-bucket cap) plus the 5 queries that failed in r4
+# on the events-loader regression (w09/w10/a10/p01/p03) to prove the fix.
+# Remaining names follow in registration order, so queries() still
+# exposes the full catalog.  Still never sampled after this round (14,
+# queue for r6): a03, mm03 (rows-only by design), f02-f09, f14-f17.
 _SAMPLE_PRIORITY = [
-    # TPC-H derived suite (plans/tpch.py) — never driver-sampled before r4
-    "h02_best_supplier_per_part", "h04_order_priority_check",
-    "h06_forecast_revenue", "h07_volume_shipping", "h08_market_share",
-    "h09_product_profit", "h10_returned_items", "h11_important_stock",
-    "h12_priority_by_status", "h13_customer_distribution",
-    "h14_promo_revenue", "h15_top_supplier", "h16_parts_supplier_counts",
-    "h19_disjunctive_revenue", "h20_potential_promotion",
-    "h21_waiting_suppliers", "h22_idle_rich_customers",
-    # window functions
-    "w01_topk_per_group", "w02_running_sum", "w03_lag_lead",
-    "w04_rank_flavors", "w05_sliding_avg", "w07_range_frame",
-    "w08_ntile_buckets", "w09_sliding_median", "w10_time_range_frame",
-    # aggregate breadth
-    "a01_pricing_summary", "a02_count_distinct", "a04_rollup", "a05_cube",
-    "a06_having", "a07_minmax_stats", "a08_grouping_sets",
-    "a09_exact_moments", "a10_mode_per_user", "a11_corr_stats",
-    "a12_grouping_id", "a13_histogram",
-    # set operations and pivots
-    "s01_union_all", "s02_intersect", "s03_except", "s04_union_distinct",
-    "s05_bag_set_ops", "p01_pivot", "p02_unpivot", "p03_pivot_multi_agg",
-    # similarity + text-analysis representatives
-    "sim01_bruteforce_topk", "sim02_lsh_ann_topk",
-    "ta01_token_stats", "ta05_bpe_token_count",
+    # join suite (plans/olap*.py) — never driver-sampled
+    "j01_inner_join_agg", "j02_left_join_count", "j03_semi_join",
+    "j04_anti_join", "j05_star_join", "j06_cross_join",
+    "j08_full_outer_join", "j09_shipping_priority", "j10_not_in_subquery",
+    "j11_local_supplier_volume", "j12_large_volume_customer",
+    "j13_exists_subquery", "j14_small_qty_revenue", "j15_null_safe_join",
+    "j16_lateral_topn", "q12_correlated_subquery",
+    # dedup remainder incl. the r4 hot-bucket cap
+    "dd08_canonical_corpus", "dd09_repeated_ngrams", "dd12_lsh_capped_pairs",
+    # pandas UDF / UDTF surfaces
+    "pd01_group_regression", "pd02_udtf_bigrams", "pd03_grouped_agg_udf",
+    # similarity remainder
+    "sim03_pairwise_label_stats", "sim05_hybrid_filtered_ann",
+    "sim06_kmeans_step",
+    # streaming batch-twins + interval join
+    "st01_tumbling_counts", "st02_sliding_counts", "st03_session_windows",
+    "evj01_interval_join",
+    # time-series
+    "ts01_hourly_gap_fill", "ts02_daily_ohlc", "ts03_rolling_zscore",
+    "po01_mom_growth", "rc01_recursive_date_spine",
+    # text analysis remainder
+    "ta02_quality_score", "ta03_langid", "ta04_fingerprint",
+    "ta06_vocabulary", "ta07_quality_filters", "ta08_char_chunks",
+    # sampling
+    "sm02_stratified_sample", "sm03_split_assignment",
+    # multimodal plumbing
+    "mm01_binary_meta", "mm02_decode_features",
+    # scalar-function representative
+    "f01_duration_parse",
+    # r4's 5 events-regression failures — re-sampled to prove the fix
+    "w09_sliding_median", "w10_time_range_frame", "a10_mode_per_user",
+    "p01_pivot", "p03_pivot_multi_agg",
 ]
 
 

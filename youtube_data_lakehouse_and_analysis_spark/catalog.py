@@ -101,23 +101,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects. Read nanos as long (session-settable legacy
-        # conf) and truncate to microseconds — the same truncation DuckDB's
-        # TIMESTAMP_NS → Python datetime conversion applies, so oracle
-        # comparisons agree. The compacted copy stores proper TIMESTAMP
-        # micros, so it reads back without the legacy conf.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet has shipped `ts` in two vintages: INT64
+        # TIMESTAMP(NANOS) (which Spark's parquet reader rejects unless the
+        # legacy nanos-as-long conf is set) and plain TIMESTAMP micros.
+        # Branch on the dtype actually loaded: only the legacy long layout
+        # gets the nanos→micros rewrite (the same truncation DuckDB's
+        # TIMESTAMP_NS → datetime conversion applies, so oracles agree);
+        # a real timestamp column passes through untouched.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        raw = spark.read.parquet(src).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        try:
+            raw = spark.read.parquet(src)
+        except Exception:
+            # Nanos layout without the conf → schema-convert error; retry.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(src)
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+            # NTZ → TZ under the pinned UTC session zone: same wall-clock
+            # values, but the engine's time functions (unix_micros, window,
+            # watermarks) expect TimestampType.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         raw = spark.read.parquet(src)
-    if os.environ.get("SPARK_GRAFT_NO_COMPACT"):
-        return raw
-    return _compacted(spark, src, name, raw)
+    if not os.environ.get("SPARK_GRAFT_NO_COMPACT"):
+        raw = _compacted(spark, src, name, raw)
+    if name == "events":
+        # A compacted copy written before the NTZ-normalization existed (or
+        # with NTZ inference on) can resurface TIMESTAMP_NTZ — re-normalize
+        # after the layout step so the contract holds for every path.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -143,10 +143,19 @@ def lsh_candidate_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-    stats = band_keys.groupBy("band", "band_key").agg(
-        F.count("*").alias("_width"), F.min(id_col).alias("_hub")
+    # Width/hub as a window over the bucket key: one shuffle on
+    # (band, band_key), no join back against a second computation of the
+    # minhash lineage. The localCheckpoint then materializes the keyed
+    # table once, so the narrow self-join below scans the stored rows
+    # twice instead of re-running shingle→md5→minhash three more times.
+    bucket = Window.partitionBy("band", "band_key")
+    keyed = band_keys.withColumn("_width", F.count("*").over(bucket)).withColumn(
+        "_hub", F.min(id_col).over(bucket)
     )
-    keyed = band_keys.join(stats, on=["band", "band_key"])
+    try:
+        keyed = keyed.localCheckpoint(eager=False)
+    except Exception:
+        pass  # checkpoint is an optimization; semantics identical without it
     narrow = keyed.filter(F.col("_width") <= max_bucket_width)
     na = narrow.select(
         F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), F.col("band_key").alias("key_a")

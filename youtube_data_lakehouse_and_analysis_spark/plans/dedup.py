@@ -133,7 +133,7 @@ _CAP = 10  # max bucket width before star-pairing kicks in
 )
 def dd12_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with the hot-bucket cap active: buckets wider
-    than {_CAP} docs emit star pairs (member ↔ min-id hub) instead of all
+    than _CAP (10) docs emit star pairs (member ↔ min-id hub) instead of all
     pairs, bounding output linearly in bucket width.  This is the 100 TB
     guard against boilerplate skew — a million pages sharing a banner
     would otherwise emit ~5·10^11 pairs from one bucket."""

@@ -128,11 +128,16 @@ def sim03_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-safe.
 
     Scale: blocking by bucket makes pair generation an equi-join
-    (Σ|bucket|² work, shuffle on the bucket key) instead of the all-pairs
+    (Σ|bucket|² work, shuffled on the bucket key) instead of the all-pairs
     `id_a < id_b` non-equi join, which Spark can only execute as a
-    BroadcastNestedLoopJoin — quadratic in the corpus and the plan-level
-    scale killer this query previously shipped.  tests/test_plans.py
-    asserts no BNLJ survives in this plan."""
+    BroadcastNestedLoopJoin — the plan-level scale killer this query
+    previously shipped.  tests/test_plans.py asserts no BNLJ survives.
+    Note the honest bound: with a FIXED 8-plane / 256-bucket code the
+    blocked pair set is still ~N²/256 — quadratic in corpus size.  The
+    real wins are (a) the shuffled equi-join replaces a broadcast loop,
+    and (b) at scale the plane count must grow with N (≈log₂(N/target
+    bucket width) planes) to keep Σ|bucket|² bounded; 8 planes is sized
+    to this table, not a constant of the design."""
     emb = load(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", "label", S.quantize("embedding").alias("qv"))

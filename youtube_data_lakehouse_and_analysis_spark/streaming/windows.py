@@ -87,20 +87,34 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as raw nanos
-    INT64 under nanosAsLong, converted to the micros timestamp here —
-    mirrors catalog.load)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA.fields]
-    )
-    return (
-        spark.readStream.schema(nanos_schema)
+    """File-source stream over the events parquet. The testdata has shipped
+    ts in two vintages (INT64 TIMESTAMP(NANOS); plain TIMESTAMP micros), and
+    a file-source stream needs its schema up front — so sniff the parquet
+    footer and build the matching schema, mirroring catalog.load's
+    normalization to a TimestampType ts either way."""
+    import pyarrow.parquet as pq
+
+    ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    legacy_nanos = str(ts_arrow) in ("timestamp[ns]", "int64")
+    if legacy_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+    else:
+        schema = EVENTS_SCHEMA
+    stream = (
+        spark.readStream.schema(schema)
         # the file source needs a directory; glob down to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if legacy_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
