@@ -408,3 +408,20 @@ def test_sim03_no_nested_loop(spark):
     plan = plan_of(spark, "sim03_pairwise_label_stats")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dd13_eval_dictionary_broadcast(spark):
+    """dd13 contamination scoring: the benchmark-gram dictionary is
+    bounded (benchmark-sized), so it must join broadcast — a shuffled
+    join here would re-shuffle every training gram at 100 TB."""
+    plan = plan_of(spark, "dd13_contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sm05_rank_pushed_below_sort(spark):
+    """sm05 per-source cap: Spark must plan the rn <= K filter as
+    WindowGroupLimit (per-partition running top-K) so a mega-source
+    never materializes beyond K rows past its sort."""
+    plan = plan_of(spark, "sm05_per_source_cap")
+    assert "WindowGroupLimit" in plan

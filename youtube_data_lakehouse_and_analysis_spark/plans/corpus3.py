@@ -1,0 +1,229 @@
+"""Training-corpus curation operators, third batch: n-gram-level
+decontamination scoring, deterministic per-source caps, Gopher-style
+bigram repetition gating, and the dedup shrinkage report a pipeline run
+publishes. All hashing is md5-derived and all ratio tests are either
+cross-multiplied integers or a single IEEE double division, so DuckDB
+reproduces every value bit-exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# dd13 — n-gram overlap decontamination scoring
+# ---------------------------------------------------------------------------
+
+_N = 4  # gram width shared with dd09
+_EVAL_MOD = 20  # doc_id % 20 == 0 → the held-out "benchmark" slice
+
+
+def _grams(docs: DataFrame) -> DataFrame:
+    """Distinct word 4-grams per document (dd09's generator + DISTINCT)."""
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= _N)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.size("ws") - _N)).alias("i"), "ws")
+        .select("doc_id", F.array_join(F.slice(F.col("ws"), F.col("i") + 1, _N), " ").alias("gram"))
+        .distinct()
+    )
+
+
+@query(
+    "dd13_contamination_overlap",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i + 1, i + {_N}), ' ') AS gram
+              FROM w, UNNEST(range(0, len(ws) - {_N} + 1)) AS t(i)
+              WHERE len(ws) >= {_N}),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0)
+        SELECT tr.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(ev.gram) AS n_hit,
+               CAST(COUNT(ev.gram) AS DOUBLE) / COUNT(*) AS overlap_frac,
+               (COUNT(ev.gram) * 2 >= COUNT(*)) AS contaminated
+        FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id""",
+)
+def dd13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at n-gram granularity: score every
+    training document by the fraction of its distinct 4-grams that also
+    occur in the held-out eval slice (here doc_id % 20 == 0 stands in for
+    the benchmark corpus), and flag docs with ≥50% overlap. This is the
+    finer-grained sibling of dd10's whole-document hash anti-join — the
+    pass that catches PARTIAL test-set leakage (a benchmark question
+    quoted inside a larger page), per the n-gram overlap procedure of
+    GPT-3/PaLM-style decontamination.
+
+    Scale: the eval-gram dictionary is benchmark-sized (thousands of
+    docs), orders of magnitude smaller than the corpus — so it carries an
+    explicit broadcast hint and the scoring join is map-side against
+    every training gram; the only shuffle is the per-doc groupBy. The
+    contaminated flag cross-multiplies integers; the reported fraction is
+    one IEEE division — both engine-exact."""
+    g = _grams(load(spark, sf_dir, "documents"))
+    ev = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), on="gram", how="left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("hit").alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("overlap_frac"),
+            (F.col("n_hit") * 2 >= F.col("n_grams")).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sm05 — deterministic per-source document cap
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 10
+
+
+@query(
+    "sm05_per_source_cap",
+    f"""WITH r AS (SELECT source, doc_id,
+                          ROW_NUMBER() OVER (
+                            PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                   FROM documents)
+        SELECT source, doc_id, rn FROM r WHERE rn <= {_CAP_PER_SOURCE}""",
+)
+def sm05_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: keep at most K documents per source,
+    chosen by content-hash order (md5 of the id, doc_id tiebreak) — the
+    guard that stops one crawled domain from dominating a training
+    mixture. Hash order makes the kept set a uniform, run-reproducible
+    sample of the source, unlike "first K by ingest order" (which biases
+    toward old pages) or rand() (which none of this repo's samplers use).
+
+    Scale: one shuffle on source + a K-bounded rank — Spark plans
+    rank-filter windows as a per-partition running top-K (WindowGroupLimit
+    pushes the predicate below the sort), so a mega-source never
+    materializes beyond K rows per task after the sort spill. A skewed
+    source is one hot partition: at 100 TB pre-aggregate with a salted
+    two-level top-K (w01's pattern) or let AQE split the straggler."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP_PER_SOURCE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta11 — Gopher top-bigram repetition gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ta11_top_bigram_fraction",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       b AS (SELECT doc_id,
+                    array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS bigram
+             FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
+             WHERE len(ws) >= 2),
+       c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY doc_id, bigram),
+       d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                    CAST(MAX(cnt) AS BIGINT) AS top_cnt
+             FROM c GROUP BY doc_id)
+       SELECT doc_id, n_bigrams, top_cnt,
+              CAST(top_cnt AS DOUBLE) / n_bigrams AS top_frac,
+              (top_cnt * 5 <= n_bigrams) AS keep
+       FROM d""",
+)
+def ta11_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule at bigram granularity: the fraction of a
+    document occupied by its single most frequent word 2-gram, with the
+    keep gate top_frac ≤ 20% (cross-multiplied as top_cnt*5 ≤ n_bigrams).
+    Complements ta07, which gates on single-word repetition — the bigram
+    form catches templated boilerplate ("click here click here …") that
+    single-word stats miss.
+
+    Scale: bigram generation is map-side (split + posexplode + slice);
+    the (doc_id, bigram) histogram partial-aggregates before its one
+    shuffle, and the per-doc max/sum reduction rides the doc_id-prefixed
+    partitioning without a second exchange under AQE."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.size("ws") - 2)).alias("i"), "ws")
+        .select("doc_id", F.array_join(F.slice(F.col("ws"), F.col("i") + 1, 2), " ").alias("bigram"))
+    )
+    hist = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    return (
+        hist.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_cnt"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_cnt",
+            (F.col("top_cnt").cast("double") / F.col("n_bigrams")).alias("top_frac"),
+            (F.col("top_cnt") * 5 <= F.col("n_bigrams")).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd14 — dedup shrinkage report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd14_dedup_report",
+    """SELECT source,
+              COUNT(*) AS n_docs,
+              COUNT(DISTINCT md5(text)) AS n_unique,
+              CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_removed,
+              CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+                AS shrink_frac
+       FROM documents GROUP BY source""",
+)
+def dd14_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a dedup pass publishes: per source, how many documents
+    arrived, how many distinct bodies remain after exact (hash) dedup,
+    and the removal fraction — the observability artifact that catches a
+    crawler re-ingesting a domain or a mirror site flooding one source.
+
+    Scale: COUNT(DISTINCT md5(text)) hashes each body to 16 bytes
+    map-side, then runs Catalyst's standard two-phase distinct expansion
+    keyed (source, hash) — the same single-shuffle shape as dd01, with
+    the counter rollup free on top. No document body ever shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_removed"),
+            ((F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")).alias(
+                "shrink_frac"
+            ),
+        )
+    )
