@@ -425,3 +425,12 @@ def test_sm05_rank_pushed_below_sort(spark):
     never materializes beyond K rows past its sort."""
     plan = plan_of(spark, "sm05_per_source_cap")
     assert "WindowGroupLimit" in plan
+
+
+def test_ta12_vocab_takeordered_and_broadcast(spark):
+    """ta12 OOV rate: the top-K vocabulary must come from a K-bounded
+    TakeOrdered (never a full corpus sort) and join broadcast."""
+    plan = plan_of(spark, "ta12_oov_rate")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -227,3 +227,112 @@ def dd14_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ta12 — OOV rate against the corpus top-K vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+@query(
+    "ta12_oov_rate",
+    f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT {_VOCAB_K}),
+        j AS (SELECT t.doc_id, (v.w IS NOT NULL) AS iv
+              FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(COALESCE(COUNT(*) FILTER (NOT iv), 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(COUNT(*) FILTER (NOT iv), 0) AS DOUBLE) / COUNT(*)
+                 AS oov_frac
+        FROM j GROUP BY doc_id""",
+)
+def ta12_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model data quality proxy without floats: per document, the
+    fraction of tokens OUTSIDE the corpus's top-K vocabulary (count-desc,
+    word-asc tiebreak → fully deterministic). High OOV rate marks
+    gibberish, boilerplate markup, or wrong-language text — the
+    integer-exact stand-in for a perplexity filter (whose log-float
+    scores cross-engine hashing can't pin).
+
+    Scale: pass 1 builds the vocabulary with one combine-friendly word
+    histogram + a K-bounded TakeOrdered (never a full sort); pass 2
+    broadcasts the K-row vocabulary and scores map-side, with the per-doc
+    rollup as the only shuffle. At 100 TB both passes stream the corpus
+    once each; a 100k-entry vocabulary is still trivially broadcastable."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_VOCAB_K)
+        .select("w")
+        .withColumn("iv", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="w", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.coalesce(F.count(F.when(F.col("iv").isNull(), 1)), F.lit(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe02 — per-label embedding centroids (long form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fe02_label_centroids",
+    """WITH q AS (SELECT label,
+                         list_transform(embedding,
+                                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                                  AS BIGINT)) AS qv
+                  FROM embeddings),
+       e AS (SELECT label, i - 1 AS dim, qv[i] AS qval
+             FROM q, UNNEST(range(1, 65)) AS t(i))
+       SELECT label, dim, CAST(SUM(qval) AS BIGINT) AS sum_q, COUNT(*) AS n,
+              CAST(SUM(qval) AS DOUBLE) / COUNT(*) AS centroid
+       FROM e GROUP BY label, dim""",
+)
+def fe02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the mean embedding per label, emitted in long
+    (label, dim) form with the exact integer component sums — the
+    primitive behind SemDeDup cells, IVF codebook seeding, and
+    label-centroid classifiers. Components are 1000x-quantized to int64
+    (operators/similarity.py:29) so the sums are engine-exact; the mean
+    is one IEEE division.
+
+    Scale: posexplode fans each row into 64 (label, dim, qval) triples
+    map-side, then ONE combine-friendly shuffle on the (label, dim) key —
+    64x row inflation but constant bytes per triple, and the partial
+    aggregation collapses it to |labels|x64 groups before the exchange.
+    The long output form keeps every value driver-hashable (no nested
+    arrays) and feeds the next k-means/IVF step by pivot or collect_list."""
+    from ..operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(S.quantize("embedding")).alias("dim", "qval"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum("qval").alias("sum_q"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "dim",
+            "sum_q",
+            "n",
+            (F.col("sum_q").cast("double") / F.col("n")).alias("centroid"),
+        )
+    )
