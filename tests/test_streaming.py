@@ -300,3 +300,24 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join: the static nation dim broadcasts into every
+    micro-batch; streamed output must equal the batch join exactly."""
+    from youtube_data_lakehouse_and_analysis_spark.streaming.joins import (
+        enrich_with_nation,
+    )
+
+    nation = load(spark, SF_DIR, "nation")
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(enrich_with_nation(stream, nation), "enrich_out")
+    got = sorted(
+        (r["event_id"], r["n_name"])
+        for r in spark.sql("SELECT event_id, n_name FROM enrich_out").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["n_name"])
+        for r in enrich_with_nation(load(spark, SF_DIR, "events"), nation).collect()
+    )
+    assert got == want and len(got) > 0

@@ -88,3 +88,41 @@ def evj01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "st04_stream_dedup",
+    """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+       FROM (SELECT * FROM events UNION ALL SELECT * FROM events) u""",
+)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup, batch twin: a doubled event feed (every row
+    delivered twice — the at-least-once redelivery case) collapsed by
+    dropDuplicates on (event_id, ts), the same transform dedup_stream
+    applies on a stream (streaming/windows.py:80), where the ts column
+    in the key lets the watermark purge state.
+
+    Scale: one shuffle on the (event_id, ts) key; with the watermark the
+    streaming state store holds only the in-horizon keys — bounded by
+    rate x watermark, not stream length."""
+    from ..streaming.windows import dedup_stream
+
+    ev = load(spark, sf_dir, "events")
+    return dedup_stream(ev.unionByName(ev))
+
+
+@query(
+    "st05_stream_static_enrich",
+    """SELECT event_id, user_id, event_type, n_name
+       FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+)
+def st05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch twin: events joined to the bounded
+    nation dim on user_id % 25 (streaming/joins.py::enrich_with_nation —
+    the SAME function; on a stream the static side broadcasts into every
+    micro-batch with zero join state)."""
+    from ..streaming.joins import enrich_with_nation
+
+    return enrich_with_nation(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "nation")
+    )

@@ -50,3 +50,20 @@ def clicks_with_recent_purchases(
     return c.join(p, cond).select(
         "click_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def enrich_with_nation(events: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event picks up the nation row
+    keyed by user_id % 25 (the synthetic user→nation mapping). On a
+    streaming `events` this is Spark's stream-static join — the static
+    side is planned as a broadcast against every micro-batch, needs no
+    watermark, and keeps NO state (the stream side never waits). The
+    explicit broadcast hint matches the 100 TB posture: the dim is
+    bounded (25 rows here; a real user dim would be a side-input table
+    refreshed per batch), the stream is not."""
+    n = nation.select(
+        F.col("n_nationkey").cast("long").alias("nk"), F.col("n_name")
+    )
+    return events.join(F.broadcast(n), events["user_id"] % 25 == F.col("nk")).select(
+        "event_id", "user_id", "event_type", "n_name"
+    )
