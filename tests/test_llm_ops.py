@@ -205,3 +205,25 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     narrow_capped = {(a, b) for a, b in ((r["doc_a"], r["doc_b"]) for r in capped) if a >= n}
     narrow_uncapped = {(a, b) for a, b in uncapped if a >= n}
     assert narrow_capped == narrow_uncapped
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    """gr01: every rank ≥ the damping floor; total mass never exceeds the
+    uniform start (floor division only leaks mass downward); symmetric
+    hubs (high-degree nodes) outrank leaves; reruns are bit-identical."""
+    from youtube_data_lakehouse_and_analysis_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed_point,
+    )
+
+    rows = [(1, 2), (1, 3), (1, 4), (4, 5)]  # star around 1, tail 4-5
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    r1 = {r["node"]: r["rank"] for r in pagerank_fixed_point(edges, iters=3).collect()}
+    r2 = {r["node"]: r["rank"] for r in pagerank_fixed_point(edges, iters=3).collect()}
+    assert r1 == r2  # bit-identical across runs/partitionings
+    floor = 15 * SCALE // 100
+    assert all(v >= floor for v in r1.values())
+    assert sum(r1.values()) <= len(r1) * SCALE
+    assert r1[1] == max(r1.values())  # the hub dominates
+    assert r1[1] > r1[5]

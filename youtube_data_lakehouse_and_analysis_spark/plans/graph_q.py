@@ -1,0 +1,71 @@
+"""Graph analytics queries (gr-series): iterative propagation over a
+graph derived from the warehouse — the workload family connecting the
+engine to entity-graph use cases (influence, fraud rings, supply webs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.graph import SCALE, pagerank_fixed_point
+from .queries import query
+
+_ITERS = 3
+_OFF = 1_000_000  # supplier node-id offset (disjoint from custkeys)
+
+# One PageRank iteration as SQL, parameterized by the previous generation.
+_STEP = """SELECT e.dst AS node,
+       {base} + ({d} * CAST(SUM(p.rank // g.deg) AS BIGINT)) // 100 AS rank
+    FROM {prev} p JOIN deg g ON p.node = g.src JOIN edges e ON e.src = p.node
+    GROUP BY e.dst"""
+
+
+def _oracle() -> str:
+    base, d = (100 - 85) * SCALE // 100, 85
+    steps = ",\n".join(
+        f"pr{i + 1} AS ({_STEP.format(base=base, d=d, prev=f'pr{i}')})" for i in range(_ITERS)
+    )
+    return f"""WITH raw AS (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + {_OFF} AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM raw
+                  UNION ALL SELECT dst, src FROM raw),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg),
+        {steps}
+        SELECT node, rank FROM pr{_ITERS}"""
+
+
+@query("gr01_pagerank", _oracle())
+def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trading graph (edges = distinct
+    (custkey, suppkey) pairs that share an order line, symmetrized so rank
+    flows both ways), 3 fixed-point iterations — surfaces the most
+    central buyers and suppliers in the supply web.
+
+    The oracle unrolls the same three integer-exact iterations as chained
+    CTEs (no recursion needed for a fixed count), so DuckDB reproduces
+    every rank bit-for-bit — floor division + integer sums are
+    order-independent where float PageRank would vary with partitioning.
+
+    Scale: the edge build is one fact join + DISTINCT; each iteration is
+    edges⋈ranks (rank table is the small side) + a combine-friendly
+    groupBy dst. Power-law hubs are the known hazard — AQE skew splitting
+    on the join, and the groupBy partial-aggregates hub contributions
+    map-side. operators/graph.py holds the loop (localCheckpoint per
+    generation, kmeans/connected-components discipline)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _OFF).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=_ITERS)
