@@ -336,3 +336,127 @@ def fe02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_q").cast("double") / F.col("n")).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ta13 — sequence-packing efficiency report
+# ---------------------------------------------------------------------------
+
+_CTX_LEN = 128
+
+
+@query(
+    "ta13_packing_plan",
+    f"""WITH t AS (SELECT doc_id, source,
+                          len(string_split(text, ' ')) AS n_tok
+                   FROM documents)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM((n_tok + {_CTX_LEN - 1}) // {_CTX_LEN}) AS BIGINT)
+                 AS n_chunks,
+               CAST(SUM((n_tok + {_CTX_LEN - 1}) // {_CTX_LEN}) * {_CTX_LEN}
+                    - SUM(n_tok) AS BIGINT) AS pad_waste,
+               CAST(SUM((n_tok + {_CTX_LEN - 1}) // {_CTX_LEN}) * {_CTX_LEN}
+                    - SUM(n_tok) AS DOUBLE)
+                 / (SUM((n_tok + {_CTX_LEN - 1}) // {_CTX_LEN}) * {_CTX_LEN})
+                 AS waste_frac
+        FROM t GROUP BY source""",
+)
+def ta13_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency: per source, how many context-length
+    chunks the corpus fills if every document is padded to a multiple of
+    the context length (128 tokens here), and the padding waste — the
+    report that decides whether a pipeline needs cross-document packing
+    (high waste_frac ⇒ many short docs ⇒ pack or concatenate).
+
+    Scale: per-row token count is map-side (split + size, no explode —
+    the corpus never inflates), then one combine-friendly groupBy source.
+    Everything before the one reported fraction is integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    chunks = F.floor((n_tok + (_CTX_LEN - 1)) / _CTX_LEN).cast("long")
+    per_doc = docs.select("source", n_tok.alias("n_tok"), chunks.alias("n_chunks"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            (F.col("n_chunks") * _CTX_LEN - F.col("total_tokens")).alias("pad_waste"),
+            (
+                (F.col("n_chunks") * _CTX_LEN - F.col("total_tokens")).cast("double")
+                / (F.col("n_chunks") * _CTX_LEN)
+            ).alias("waste_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd15 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _dd15_oracle() -> str:
+    # Reuse the canonical minhash CTE (plans/dedup.py) so this oracle and
+    # the Spark side share ONE hash family — an independently-written
+    # family can agree on exact dups yet diverge on borderline near-dups.
+    from .dedup import _SIG_CTE
+
+    return f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandkey a
+          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id)
+        SELECT least(da.source, db.source) AS source_x,
+               greatest(da.source, db.source) AS source_y,
+               COUNT(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id
+        GROUP BY 1, 2"""
+
+
+@query("dd15_cross_source_dup_matrix", _dd15_oracle())
+def dd15_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who copies from whom: the LSH near-dup candidate pairs (dd03's
+    exact pipeline) rolled up into an unordered source×source matrix —
+    the provenance report that exposes mirror sites and syndication
+    between crawl sources (large off-diagonal cells) versus internal
+    duplication (diagonal cells).
+
+    Scale: reuses the bucketed pair generation (never all-pairs); the two
+    doc→source lookups join against a projection carrying only
+    (doc_id, source) — at 100 TB that side is a compact dimension and
+    both lookups broadcast; one final combine-friendly groupBy on the
+    normalized (least, greatest) source pair."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(a), on="doc_a")
+        .join(F.broadcast(b), on="doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+    )
