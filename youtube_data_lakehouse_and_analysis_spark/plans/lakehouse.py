@@ -313,3 +313,50 @@ def mg01_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("new_price").alias("price")
     )
     return old.join(F.broadcast(touched), "o_orderkey", "left_anti").unionByName(upserts)
+
+
+@query(
+    "ia02_incremental_join",
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderstatus""",
+)
+def ia02_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the join sibling of ia01):
+    orders arrive in two batches (base = o_orderkey % 10 != 0, delta =
+    the rest — standing in for "yesterday's table" and "today's feed");
+    the maintained view lineitem⋈orders→per-status rollup absorbs the
+    delta by joining ONLY the delta against the fact and merging additive
+    (count, decimal-sum) states with the stored base state. The oracle is
+    the single-pass recompute over the full join — the gate proves
+    merge(view(base), view(Δ)) == view(base ∪ Δ), which holds because
+    join distributes over union and the states are additive.
+
+    Scale: the whole point — a daily delta is orders of magnitude smaller
+    than the base, so the maintenance job broadcasts the delta into one
+    map-side join over the fact (no fact shuffle, no base-join rescan;
+    the base state is a stored K-row table). DECIMAL sums make the merged
+    state bit-identical to the recompute under any batch split."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = F.broadcast(o.filter(F.col("o_orderkey") % 10 == 0))
+
+    def view_state(orders_slice: DataFrame) -> DataFrame:
+        return (
+            li.join(orders_slice, li["l_orderkey"] == orders_slice["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("psum"),
+            )
+        )
+
+    return (
+        view_state(base)
+        .unionByName(view_state(delta))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cnt").alias("n_items"), F.sum("psum").cast("double").alias("revenue"))
+    )

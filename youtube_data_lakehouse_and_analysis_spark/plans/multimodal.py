@@ -55,3 +55,37 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over decoded video rows (every 4th frame)."""
     media = attach_payload(load(spark, sf_dir, "documents"))
     return sample_frames(decode_media(media), every_nth=4)
+
+
+@query(
+    "mm04_modality_budget",
+    f"""WITH media AS (
+          SELECT doc_id, {_KIND} AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents)
+        SELECT kind, COUNT(*) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN kind = 'video' THEN 1 + n_bytes % 24 ELSE 1 END)
+                    AS BIGINT) AS total_frames
+        FROM media GROUP BY kind""",
+)
+def mm04_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality budget: items / bytes / frames per media kind, aggregated
+    DOWNSTREAM of the Arrow-batched decode — the storage-and-compute
+    planning number for a multimodal training run (how many GPU-decode
+    hours of video, how many image items), and the proof that mapInPandas
+    output composes with exact JVM aggregation (UDF → groupBy stays
+    oracle-checkable; the stub codec's deterministic dims make it exact).
+
+    Scale: the decode is the expensive map stage; the rollup adds one
+    combine-friendly K-row shuffle on kind — free relative to decode."""
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    return (
+        decode_media(media)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+    )
