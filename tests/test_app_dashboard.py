@@ -84,3 +84,18 @@ def test_console_fallback_renders_all(silver, capsys):
     out = capsys.readouterr().out
     for label, _ in QUESTIONS:
         assert label in out
+
+
+def test_end_to_end_pipeline_entry(spark, tmp_path, capsys):
+    """python -m <package> flow: ingest → bronze → silver → all ten
+    queries, in-process via run() + the console render path."""
+    from youtube_data_lakehouse_and_analysis_spark.__main__ import run
+    from youtube_data_lakehouse_and_analysis_spark.present import render as prender
+
+    tables = run(spark, FIX, str(tmp_path / "wh"))
+    assert set(tables) == {"channel", "playlist", "video", "comment"}
+    for label, fn in QUESTIONS:
+        prender(fn(tables), title=label)
+    out = capsys.readouterr().out
+    for label, _ in QUESTIONS:
+        assert label in out
