@@ -114,3 +114,12 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in fmt and "event_date" in fmt.split("PartitionFilters", 1)[1][:200]
     # and it actually prunes: rows match the single day's count
     assert back.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "xml")
+    FF.write_xml(df, path)
+    back = FF.read_xml(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert _sorted_rows(back) == _sorted_rows(df)

@@ -317,3 +317,53 @@ def ev06_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "ev07_conversion_latency",
+    """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+             FROM events e JOIN s ON e.user_id = s.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+             GROUP BY e.user_id)
+       SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+              (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)) // 1000000
+                AS secs_to_convert
+       FROM s JOIN p ON s.user_id = p.user_id""",
+)
+def ev07_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per user: first signup → first subsequent purchase,
+    with the latency in whole seconds (integer micros difference, floor
+    division — engine-exact where a float seconds column could round
+    differently). The growth-analytics companion to ev01's funnel counts
+    and ev05's windowed conversion.
+
+    Scale: two conditional-MIN aggregates on user_id (combine-friendly,
+    the event-sequence family's single-shuffle shape) and a same-key
+    join that reuses the aggregation partitioning — no per-user sequence
+    sort, no window over the raw stream."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, on="user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        s.join(p, on="user_id")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.expr(
+                "(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) div 1000000"
+            ).alias("secs_to_convert"),
+        )
+    )

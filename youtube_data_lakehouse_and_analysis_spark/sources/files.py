@@ -102,3 +102,23 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Write rows as XML elements (Spark 4 native XML source) — the
+    interchange format legacy feeds and sitemap-style exports still use."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType | None = None, row_tag: str = "row"
+) -> DataFrame:
+    """Read XML with an explicit rowTag (Spark 4 built-in — no external
+    package). Schema optional but recommended: inference re-scans the
+    files, and XML carries no types of its own. XML parse is row-wise
+    (no columnar pushdown) — ingest-then-convert to parquet is the scale
+    posture, same as CSV/JSON."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
