@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) over
+the recorded YouTube API response pages — the ingest edge as a
+first-class `spark.read.format(...)` source instead of ad-hoc file
+globbing:
+
+    spark.dataSource.register(YouTubeResponsePages)
+    raw = (spark.read.format("youtube_pages")
+                .option("path", fixtures_root)        # dir of endpoint dirs
+                .load())
+    # raw: endpoint STRING, page_file STRING, item STRING (one JSON item
+    # per row — pagination dissolved at the source)
+
+Layering: this source owns file ENUMERATION, PAGINATION-dissolving, and
+PARALLELISM (one InputPartition per response file, so a crawl of 10k
+pages scans 10k-wide); the existing youtube_api flatteners own the
+schema semantics, applied downstream with from_json. That split keeps
+Python-side work at the cold ingest edge — every query-side operator
+stays JVM/codegen.
+
+The reference walks these responses with a per-page Python loop
+(/root/reference/app.py:55-78); here each page is a partition of a
+declarative scan, so the same recorded corpus ingests at cluster width.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("endpoint", StringType(), False),
+        StructField("page_file", StringType(), False),
+        StructField("item", StringType(), False),
+    ]
+)
+
+
+class _PageFile(InputPartition):
+    def __init__(self, endpoint: str, path: str):
+        self.endpoint = endpoint
+        self.path = path
+
+
+class _PagesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("youtube_pages: option 'path' (fixtures root) is required")
+        self.endpoint = options.get("endpoint")  # optional narrowing
+
+    def partitions(self) -> list[InputPartition]:
+        """One partition per recorded response file: a 10k-page crawl
+        plans a 10k-task scan — parallelism falls out of the layout, the
+        same property parquet splits give the query side."""
+        parts: list[InputPartition] = []
+        for endpoint in sorted(os.listdir(self.root)):
+            if self.endpoint and endpoint != self.endpoint:
+                continue
+            epdir = os.path.join(self.root, endpoint)
+            if not os.path.isdir(epdir):
+                continue
+            parts.extend(
+                _PageFile(endpoint, os.path.join(epdir, f))
+                for f in sorted(os.listdir(epdir))
+                if f.endswith(".json")
+            )
+        if not parts:
+            raise ValueError(f"youtube_pages: no response files under {self.root!r}")
+        return parts
+
+    def read(self, partition: _PageFile) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            page = json.load(fh)
+        for item in page.get("items", []):
+            yield (
+                partition.endpoint,
+                os.path.basename(partition.path),
+                json.dumps(item, separators=(",", ":")),
+            )
+
+
+class YouTubeResponsePages(DataSource):
+    """`youtube_pages` — recorded API responses as a partitioned scan."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "youtube_pages"
+
+    def schema(self) -> StructType:
+        return PAGES_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PagesReader(self.options)
