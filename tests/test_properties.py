@@ -172,3 +172,53 @@ def test_sessionization_invariant_to_input_order(spark):
     )
     ev.unpersist()
     assert got == want
+
+
+_DUR = st.tuples(
+    st.integers(min_value=0, max_value=30),  # hours
+    st.integers(min_value=0, max_value=90),  # minutes (ISO allows >59)
+    st.integers(min_value=0, max_value=90),  # seconds
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),  # component present?
+)
+
+
+@given(specs=st.lists(_DUR, min_size=1, max_size=20))
+@SET
+def test_iso8601_duration_parse_reference(spark, specs):
+    """functions/transforms.py duration parse vs a plain-Python reference
+    over generated PT[nH][nM][nS] strings with any component subset."""
+    from youtube_data_lakehouse_and_analysis_spark.functions.transforms import (
+        iso8601_duration_seconds,
+    )
+
+    rows, want = [], []
+    for i, (h, m, s, (ph, pm, ps)) in enumerate(specs):
+        if not (ph or pm or ps):
+            ph = True  # PT alone is not a duration; keep ≥1 component
+        txt = "PT" + (f"{h}H" if ph else "") + (f"{m}M" if pm else "") + (f"{s}S" if ps else "")
+        rows.append((i, txt))
+        want.append((i, (h * 3600 if ph else 0) + (m * 60 if pm else 0) + (s if ps else 0)))
+    df = spark.createDataFrame(rows, ["i", "dur"])
+    got = [
+        (r["i"], r["secs"])
+        for r in df.select("i", iso8601_duration_seconds(F.col("dur")).alias("secs"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == sorted(want)
+
+
+@given(
+    tok_counts=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=25),
+    ctx=st.sampled_from([16, 128, 512]),
+)
+@SET
+def test_packing_arithmetic_reference(spark, tok_counts, ctx):
+    """ta13's chunk/waste arithmetic vs the obvious Python ceil-division
+    reference, for arbitrary token counts and context lengths."""
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(tok_counts)], ["i", "n_tok"])
+    got = df.select(
+        F.sum(F.floor((F.col("n_tok") + (ctx - 1)) / ctx)).cast("long").alias("chunks")
+    ).collect()[0]["chunks"]
+    want = sum(-(-n // ctx) for n in tok_counts)
+    assert got == want
