@@ -53,3 +53,39 @@ def test_items_parse_to_the_flattened_schema(spark):
         for r in yt.read_channels(spark, f"{FIX}/channels").collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_stream_picks_up_new_pages(spark, tmp_path):
+    """readStream over the custom source: batch 1 sees the initial pages,
+    a page landing afterwards arrives in a later micro-batch."""
+    import json
+    import os
+    import shutil
+    import time
+
+    root = str(tmp_path / "feed")
+    os.makedirs(f"{root}/channels")
+    shutil.copy(f"{FIX}/channels/ch_A.json", f"{root}/channels/ch_A.json")
+
+    spark.dataSource.register(YouTubeResponsePages)
+    stream = spark.readStream.format("youtube_pages").option("path", root).load()
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pages_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT COUNT(*) AS n FROM pages_out").collect()[0]["n"]
+        assert n1 == 1  # ch_A has one item
+
+        with open(f"{root}/channels/ch_Z.json", "w") as fh:
+            json.dump({"items": [{"id": "UC_Z1"}, {"id": "UC_Z2"}]}, fh)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT endpoint, page_file FROM pages_out").collect()
+        assert len(rows) == 3  # 1 + the 2 new items, no re-delivery of ch_A
+        assert {r["page_file"] for r in rows} == {"ch_A.json", "ch_Z.json"}
+    finally:
+        q.stop()

@@ -28,7 +28,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 PAGES_SCHEMA = StructType(
@@ -96,3 +101,63 @@ class YouTubeResponsePages(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _PagesReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SimpleDataSourceStreamReader":
+        return _PagesStreamReader(self.options)
+
+
+class _PagesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same corpus: each batch picks up
+    response files that appeared since the last committed offset (offset
+    = sorted file list position per endpoint, tracked as a total count of
+    consumed files). Replayable: readBetweenOffsets re-derives a batch
+    purely from offsets over the (immutable, append-only) page directory
+    — the property exactly-once sinks need."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("youtube_pages: option 'path' is required")
+        self.endpoint = options.get("endpoint")
+
+    def _files(self) -> list[tuple[str, str]]:
+        out: list[tuple[str, str]] = []
+        for endpoint in sorted(os.listdir(self.root)):
+            if self.endpoint and endpoint != self.endpoint:
+                continue
+            epdir = os.path.join(self.root, endpoint)
+            if not os.path.isdir(epdir):
+                continue
+            out.extend(
+                (endpoint, os.path.join(epdir, f))
+                for f in sorted(os.listdir(epdir))
+                if f.endswith(".json")
+            )
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        end = {"n": len(files)}
+        return iter(self._rows(files[start["n"] : end["n"]])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+
+    @staticmethod
+    def _rows(files: list[tuple[str, str]]) -> list[tuple]:
+        # Materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator between micro-batches, and
+        # generators are neither copyable nor picklable. Batches are
+        # new-files-only, so the list is delta-sized.
+        rows: list[tuple] = []
+        for endpoint, path in files:
+            with open(path) as fh:
+                page = json.load(fh)
+            rows.extend(
+                (endpoint, os.path.basename(path), json.dumps(item, separators=(",", ":")))
+                for item in page.get("items", [])
+            )
+        return rows
