@@ -360,3 +360,53 @@ def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_W10_SQL)
+
+
+@query(
+    "w11_running_distinct",
+    """WITH flagged AS (
+         SELECT event_type, ts, event_id,
+                CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) = 1
+                     THEN 1 ELSE 0 END AS first_seen
+         FROM events)
+       SELECT event_type, ts, event_id,
+              CAST(SUM(first_seen) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
+       FROM flagged""",
+)
+def w11_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count per event type — the audience-growth
+    curve. Spark (like most engines) has no COUNT(DISTINCT) window, so
+    the standard rewrite: flag each user's FIRST occurrence within the
+    type (row_number over (type, user) = 1), then a running SUM of flags
+    over the (ts, event_id)-totally-ordered stream. Exact, and the flag
+    trick is the scalable idiom — windowed distinct-count via sets would
+    hold O(users) state per row.
+
+    Scale: two window passes with different partition keys = two
+    shuffles ((type, user) then (type)); the second carries one extra
+    int per row. Few event types ⇒ hot partitions in pass 2 — the known
+    global-running-total hazard; chunked two-level running sums (po01's
+    note) are the remedy when a single type outgrows one task."""
+    ev = load(spark, sf_dir, "events")
+    first_w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_type", "ts", "event_id", "user_id")
+        .withColumn(
+            "first_seen", F.when(F.row_number().over(first_w) == 1, 1).otherwise(0)
+        )
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(run_w).cast("long").alias("distinct_users"),
+        )
+    )
