@@ -460,3 +460,78 @@ def dd15_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dd16 — MinHash Jaccard estimate per candidate pair
+# ---------------------------------------------------------------------------
+
+
+def _dd16_oracle() -> str:
+    from .dedup import _SIG_CTE
+
+    return f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandkey a
+          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(COALESCE(COUNT(*) FILTER (sa.minhash = sb.minhash), 0) AS BIGINT)
+                 AS n_equal,
+               CAST(COALESCE(COUNT(*) FILTER (sa.minhash = sb.minhash), 0) AS DOUBLE)
+                 / 16 AS jaccard_est
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+        GROUP BY p.doc_a, p.doc_b"""
+
+
+@query("dd16_minhash_jaccard_estimate", _dd16_oracle())
+def dd16_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator inside MinHash-LSH, surfaced: for every candidate
+    pair, the fraction of the 16 signature components that agree — an
+    unbiased estimate of Jaccard similarity (P[minhash collision] =
+    Jaccard). This is the cheap triage between candidate generation
+    (dd03) and exact verification (dd04/dd11): thresholding on the
+    estimate costs 16 int comparisons per pair instead of re-shingling
+    both documents.
+
+    Scale: signatures are 16 rows × 16 bytes per doc — the signature
+    table is ~1000× smaller than the corpus; both pair-side joins are on
+    (doc_id, seed) equi-keys and the rollup is a combine-friendly groupBy
+    on the pair. Everything downstream of signature computation never
+    touches document text."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    pairs = D.lsh_candidate_pairs(
+        D.lsh_band_keys(sigs, rows_per_band=4)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on=["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.coalesce(
+                F.count(F.when(F.col("mh_a") == F.col("mh_b"), 1)), F.lit(0)
+            ).alias("n_equal")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_equal",
+            (F.col("n_equal").cast("double") / 16).alias("jaccard_est"),
+        )
+    )
