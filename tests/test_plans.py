@@ -434,3 +434,14 @@ def test_ta12_vocab_takeordered_and_broadcast(spark):
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q05_join_form_upgrades_to_broadcast(spark):
+    """q05 (join form): AQE must upgrade the agg-side probe to a
+    BroadcastHashJoin at test scale — the runtime re-plan this engine
+    relies on instead of hand-picking join strategies."""
+    df = QUERIES["q05_groupwise_max"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -410,3 +410,46 @@ def w11_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(run_w).cast("long").alias("distinct_users"),
         )
     )
+
+
+@query(
+    "a14_median_abs_deviation",
+    """WITH med AS (SELECT l_returnflag, median(l_extendedprice) AS m
+                    FROM lineitem GROUP BY l_returnflag)
+       SELECT l.l_returnflag, m.m AS med_price,
+              median(abs(l.l_extendedprice - m.m)) AS mad,
+              COUNT(*) AS n
+       FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+       GROUP BY l.l_returnflag, m.m""",
+)
+def a14_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: the median absolute deviation around
+    the per-group median price — the outlier-resistant alternative to
+    stddev (a11) that a price-anomaly monitor actually wants. Exact
+    two-phase: group medians first, then the median of absolute
+    deviations; both engines interpolate even-count medians as the mean
+    of the two middle values (the w09 convention), so values match
+    bit-for-bit.
+
+    Scale: phase 1 collapses to |groups| rows — broadcast back over the
+    fact for the deviation pass, so the fact shuffles only for the two
+    per-group exact-percentile aggregations. Exact medians sort within
+    each group's partition; at extreme group sizes approx_percentile is
+    the documented fallback (a03's accuracy-for-scale trade)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), on="l_returnflag")
+        .select(
+            "l_returnflag",
+            "med_price",
+            F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("absdev"),
+        )
+        .groupBy("l_returnflag", "med_price")
+        .agg(
+            F.expr("percentile(absdev, 0.5)").alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )
