@@ -123,3 +123,17 @@ def test_xml_roundtrip(spark, tmp_path):
     back = FF.read_xml(spark, path, df.schema)
     assert back.schema == df.schema
     assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A later batch adds a column: the merged read exposes the union
+    schema with NULL back-fill, and per-batch values survive intact."""
+    old = spark.createDataFrame([(1, "a")], ["id", "name"])
+    new = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    p_old, p_new = str(tmp_path / "b0"), str(tmp_path / "b1")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    merged = FF.read_evolved_parquet(spark, p_old, p_new)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

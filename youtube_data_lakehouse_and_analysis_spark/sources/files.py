@@ -122,3 +122,18 @@ def read_xml(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def read_evolved_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet batches whose schemas EVOLVED between writes (columns
+    added over time — the normal drift of a long-lived bronze feed) as
+    one unified DataFrame: mergeSchema unions the per-file footers and
+    back-fills missing columns with NULL.
+
+    Scale note: schema merging reads every file footer up front — cheap
+    relative to data, but at millions of files it is a driver-side
+    listing cost; a production lakehouse records the evolved schema in a
+    transaction log (Delta/Iceberg) instead of re-deriving it per read.
+    Silver contracts stay pinned: migrate() selects/casts the documented
+    columns, so upstream drift cannot leak types downstream."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
