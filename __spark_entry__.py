@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # exposes the full catalog.  Still never sampled after this round
 # (queue for r6): a03, mm03 (rows-only by design), f02-f09, f14-f17,
 # and the r5-new dd13/dd14/sm05/ta11/ta12/fe02/st04/st05/gr01/ta13/dd15/
-# ia02/mm04/ev07/w11/dd16/a14.
+# ia02/mm04/ev07/w11/dd16/a14/ev08.
 _SAMPLE_PRIORITY = [
     # join suite (plans/olap*.py) — never driver-sampled
     "j01_inner_join_agg", "j02_left_join_count", "j03_semi_join",

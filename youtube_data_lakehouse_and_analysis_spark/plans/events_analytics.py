@@ -367,3 +367,50 @@ def ev07_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_convert"),
         )
     )
+
+
+@query(
+    "ev08_behavior_bitmask",
+    """WITH m AS (SELECT user_id, date_trunc('day', ts) AS day,
+                         bit_or(CASE event_type WHEN 'click' THEN 1
+                                                WHEN 'view' THEN 2
+                                                WHEN 'purchase' THEN 4
+                                                WHEN 'signup' THEN 8
+                                                WHEN 'error' THEN 16
+                                                ELSE 0 END) AS mask
+                  FROM events GROUP BY user_id, date_trunc('day', ts))
+       SELECT mask, COUNT(*) AS n_user_days,
+              CAST(bit_count(mask) AS INT) AS n_event_types
+       FROM m GROUP BY mask""",
+)
+def ev08_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral segmentation as bit algebra: each user-DAY's event-type
+    set packed into a 5-bit mask with a BIT_OR aggregate, then the
+    population per distinct daily behavior profile. The bitmask form is the
+    cardinality-friendly way to segment at scale — one long per user
+    instead of a collected set, set algebra (has-purchased AND
+    never-errored = mask & 4 != 0 AND mask & 16 = 0) stays in codegen,
+    and masks compose under further BIT_OR rollups (weekly → monthly
+    profiles merge losslessly, the same additive-state property ia01/ia02
+    build on).
+
+    Scale: two combine-friendly shuffles (user_id, then mask — the
+    second over ≤2^5 groups). No collect_set, no array columns."""
+    ev = load(spark, sf_dir, "events")
+    mask_expr = (
+        "bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+        "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'error' THEN 16 "
+        "ELSE 0 END)"
+    )
+    masks = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr(mask_expr).alias("mask")
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count("*").alias("n_user_days"))
+        .select(
+            "mask",
+            "n_user_days",
+            F.bit_count("mask").cast("int").alias("n_event_types"),
+        )
+    )
