@@ -26,50 +26,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Rounds 1-3 graded the same registration-order prefix
-# (50 names); round 4 front-loaded 50 fresh ones.  Round 5 rotates again:
-# 45 of the 59 still-never-sampled queries (full join suite, pandas/UDTF,
-# streaming batch-twins, time-series, text-analysis remainder, sampling,
-# multimodal, dd12's hot-bucket cap) plus the 5 queries that failed in r4
-# on the events-loader regression (w09/w10/a10/p01/p03) to prove the fix.
+# in dict order.  Rounds 1-5 rotated through 145 of the catalog's 177
+# names (union of CORRECTNESS_r0*.json keys).  Round 6 front-loads the
+# 32 queries the driver has never sampled — after this round every
+# oracled query in the catalog has been driver-verified at least once —
+# and pads to 50 with 18 spot re-checks spanning each family (including
+# the r4 events-regression names and the previously perf-weak q01).
 # Remaining names follow in registration order, so queries() still
-# exposes the full catalog.  Still never sampled after this round
-# (queue for r6): a03, mm03 (rows-only by design), f02-f09, f14-f17,
-# and the r5-new dd13/dd14/sm05/ta11/ta12/fe02/st04/st05/gr01/ta13/dd15/
-# ia02/mm04/ev07/w11/dd16/a14/ev08.
+# exposes the full catalog.
 _SAMPLE_PRIORITY = [
-    # join suite (plans/olap*.py) — never driver-sampled
-    "j01_inner_join_agg", "j02_left_join_count", "j03_semi_join",
-    "j04_anti_join", "j05_star_join", "j06_cross_join",
-    "j08_full_outer_join", "j09_shipping_priority", "j10_not_in_subquery",
-    "j11_local_supplier_volume", "j12_large_volume_customer",
-    "j13_exists_subquery", "j14_small_qty_revenue", "j15_null_safe_join",
-    "j16_lateral_topn", "q12_correlated_subquery",
-    # dedup remainder incl. the r4 hot-bucket cap
-    "dd08_canonical_corpus", "dd09_repeated_ngrams", "dd12_lsh_capped_pairs",
-    # pandas UDF / UDTF surfaces
-    "pd01_group_regression", "pd02_udtf_bigrams", "pd03_grouped_agg_udf",
-    # similarity remainder
-    "sim03_pairwise_label_stats", "sim05_hybrid_filtered_ann",
-    "sim06_kmeans_step",
-    # streaming batch-twins + interval join
-    "st01_tumbling_counts", "st02_sliding_counts", "st03_session_windows",
-    "evj01_interval_join",
-    # time-series
-    "ts01_hourly_gap_fill", "ts02_daily_ohlc", "ts03_rolling_zscore",
-    "po01_mom_growth", "rc01_recursive_date_spine",
-    # text analysis remainder
-    "ta02_quality_score", "ta03_langid", "ta04_fingerprint",
-    "ta06_vocabulary", "ta07_quality_filters", "ta08_char_chunks",
-    # sampling
-    "sm02_stratified_sample", "sm03_split_assignment",
-    # multimodal plumbing
-    "mm01_binary_meta", "mm02_decode_features",
-    # scalar-function representative
+    # --- the 32 never-driver-sampled queries ---
+    "a03_approx_distinct", "a14_median_abs_deviation",
+    "dd13_contamination_overlap", "dd14_dedup_report",
+    "dd15_cross_source_dup_matrix", "dd16_minhash_jaccard_estimate",
+    "ev07_conversion_latency", "ev08_behavior_bitmask",
+    "f02_timestamp_roundtrip", "f03_null_handling", "f04_string_funcs",
+    "f05_math", "f06_case_when", "f07_json_extract", "f08_word_explode",
+    "f09_date_arith", "f14_map_ops", "f15_array_set_ops",
+    "f16_variant_extract", "f17_date_breadth",
+    "fe02_label_centroids", "gr01_pagerank", "ia02_incremental_join",
+    "mm03_frame_sample", "mm04_modality_budget", "sm05_per_source_cap",
+    "st04_stream_dedup", "st05_stream_static_enrich",
+    "ta11_top_bigram_fraction", "ta12_oov_rate", "ta13_packing_plan",
+    "w11_running_distinct",
+    # --- 18 spot re-checks across families ---
+    "q01_project_filter", "q05_groupwise_max", "j05_star_join",
+    "j16_lateral_topn", "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
+    "w09_sliding_median", "a10_mode_per_user", "p01_pivot",
+    "sim05_hybrid_filtered_ann", "sim06_kmeans_step",
+    "st01_tumbling_counts", "ts01_hourly_gap_fill", "ta01_token_stats",
+    "sm02_stratified_sample", "mm02_decode_features", "pd02_udtf_bigrams",
     "f01_duration_parse",
-    # r4's 5 events-regression failures — re-sampled to prove the fix
-    "w09_sliding_median", "w10_time_range_frame", "a10_mode_per_user",
-    "p01_pivot", "p03_pivot_multi_agg",
 ]
 
 

@@ -47,6 +47,7 @@ class RecordingSt:
         self.choice = choice
         self.selectbox_calls: list[tuple[str, list[str]]] = []
         self.tables: list = []
+        self.bar_charts: list = []
 
     def selectbox(self, label, options):
         self.selectbox_calls.append((label, list(options)))
@@ -54,6 +55,9 @@ class RecordingSt:
 
     def table(self, data):
         self.tables.append(data)
+
+    def bar_chart(self, data):
+        self.bar_charts.append(data)
 
 
 def test_options_match_reference():
@@ -70,6 +74,24 @@ def test_every_question_renders_a_table(silver):
         assert st.selectbox_calls[0][1] == question_options()
         assert len(st.tables) == 1, label
         assert len(st.tables[0]) > 0, f"{label}: rendered an empty table"
+
+
+def test_bar_chart_parity(silver):
+    """Reference renders Q2/Q3 with st.bar_chart BEFORE the table
+    (ref app.py:472, 497) and the other eight questions table-only."""
+    for label, _ in QUESTIONS:
+        st = RecordingSt(label)
+        render_dashboard(silver, st=st)
+        if label.startswith("2."):
+            assert len(st.bar_charts) == 1, label
+            assert st.bar_charts[0].name == "channel_uploads"
+            assert st.bar_charts[0].index.name == "channel_name"
+        elif label.startswith("3."):
+            assert len(st.bar_charts) == 1, label
+            assert st.bar_charts[0].name == "views"
+            assert st.bar_charts[0].index.name == "video_title"
+        else:
+            assert st.bar_charts == [], label
 
 
 def test_placeholder_renders_nothing(silver):

@@ -143,3 +143,19 @@ def test_events_both_vintages(spark, tmp_path, unit):
     assert df.schema["ts"].dataType == T.TimestampType(), df.schema["ts"].dataType
     got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
     assert got == _TIMES, (unit, got)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_events_key_uniqueness(sf):
+    """(event_id, ts) must uniquely key events: st04_stream_dedup's oracle
+    (DISTINCT over all columns) only matches Spark's dropDuplicates on the
+    key while this holds. A vintage with colliding keys but differing
+    payloads would make st04 nondeterministic — fail here instead."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/events.parquet"
+    dupes = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT event_id, ts FROM '{path}' "
+        "GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert dupes == 0, f"{dupes} colliding (event_id, ts) keys in {sf}"

@@ -90,6 +90,17 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(exact_pairs & ann_pairs) > 0
 
 
+def test_brute_force_topk_guards_wide_query_pred(spark):
+    """A miscalled predicate matching the whole corpus must raise, not
+    collect the corpus to the driver (operators/similarity.py guard)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="more than 3 rows"):
+        S.brute_force_topk(emb, F.lit(True), k=3, max_queries=3)
+    # the guard is a limit(max+1) probe: an in-bounds query set still works
+    ok = S.brute_force_topk(emb, F.col("vec_id") < 3, k=2, max_queries=3)
+    assert ok.count() > 0
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     media = attach_payload(load(spark, SF_DIR, "documents"))
     with pytest.raises(NotImplementedError):

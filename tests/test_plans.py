@@ -134,6 +134,49 @@ def test_dd08_discard_set_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_corpus_pipelines_use_hot_bucket_cap(spark, monkeypatch):
+    """Corpus discovery pipelines must run LSH candidate generation with
+    the hot-bucket cap (star pairing beyond DEFAULT_MAX_BUCKET_WIDTH) —
+    the uncapped all-pairs join is the 100 TB boilerplate-skew bomb.
+    Checkpointing truncates the visible plan, so record the call instead:
+    every pipeline below must pass max_bucket_width (dd03 alone stays
+    uncapped, as the definitional primitive)."""
+    from youtube_data_lakehouse_and_analysis_spark.operators import dedup as D
+
+    calls: list = []
+    real = D.lsh_candidate_pairs
+
+    def recording(band_keys, id_col="doc_id", max_bucket_width=None):
+        calls.append(max_bucket_width)
+        return real(band_keys, id_col=id_col, max_bucket_width=max_bucket_width)
+
+    monkeypatch.setattr(D, "lsh_candidate_pairs", recording)
+    for name in (
+        "dd07_dup_clusters",
+        "dd08_canonical_corpus",
+        "dd11_edit_distance_verify",
+        "dd15_cross_source_dup_matrix",
+        "dd16_minhash_jaccard_estimate",
+    ):
+        calls.clear()
+        QUERIES[name](spark, SF_DIR)
+        assert calls == [D.DEFAULT_MAX_BUCKET_WIDTH], (name, calls)
+
+
+def test_lsh_capped_plan_has_star_branch(spark):
+    """The capped operator itself must plan the bucket-width window and
+    the narrow/star union (not a disguised all-pairs join)."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+    from youtube_data_lakehouse_and_analysis_spark.operators import dedup as D
+
+    docs = load(spark, SF_DIR, "documents")
+    keys = D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
+    df = D.lsh_candidate_pairs(keys, max_bucket_width=10)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "_width" in plan and "_hub" in plan
+    assert "Union" in plan
+
+
 def test_ta05_no_python_udf(spark):
     """Token counting must stay JVM-side (regexp_extract_all), never a
     Python UDF in the per-row hot path."""

@@ -53,13 +53,15 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("youtube_pipeline")
     tables = run(spark, fixtures_dir, out_dir)
+    # Only a MISSING streamlit routes to the console fallback; a genuine
+    # render bug must propagate, not silently re-run all ten queries.
     try:
         import streamlit  # noqa: F401 — full dashboard when present
-
-        render_dashboard(tables)
-    except Exception:
+    except ImportError:
         for label, fn in QUESTIONS:
             render(fn(tables), title=label)
+    else:
+        render_dashboard(tables)
     spark.stop()
     return 0
 

@@ -89,8 +89,19 @@ def run_question(label: str, tables: domain.Tables) -> DataFrame | None:
     return fn(tables) if fn is not None else None
 
 
+# Questions the reference ALSO renders as a bar chart before the table:
+# Q2 charts channel_uploads indexed by channel_name (ref app.py:472) and
+# Q3 charts views indexed by video_title (ref app.py:497).
+_CHARTS = {
+    QUESTIONS[1][0]: ("channel_name", "channel_uploads"),
+    QUESTIONS[2][0]: ("video_title", "views"),
+}
+
+
 def render_dashboard(tables: domain.Tables, st=None) -> None:
-    """The selectbox→dispatch→st.table loop body (app.py:599-631).
+    """The selectbox→dispatch→st.table loop body (app.py:599-631), with
+    the reference's bar-chart panels for Q2/Q3 (app.py:472, 497 — chart
+    first inside the query function, table from the dispatch).
 
     `st` defaults to the real streamlit when importable; inject a stub to
     test, or leave None without streamlit for console fallback."""
@@ -104,7 +115,12 @@ def render_dashboard(tables: domain.Tables, st=None) -> None:
     choice = st.selectbox("Select option", question_options())
     df = run_question(choice, tables)
     if df is not None:
-        st.table(to_display(df))
+        pdf = to_display(df)
+        chart = _CHARTS.get(choice)
+        if chart is not None:
+            index_col, value_col = chart
+            st.bar_chart(pdf.set_index(index_col)[value_col])
+        st.table(pdf)
 
 
 def main(silver_dir: str, st=None) -> None:

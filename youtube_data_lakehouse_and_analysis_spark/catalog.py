@@ -113,8 +113,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         try:
             raw = spark.read.parquet(src)
-        except Exception:
-            # Nanos layout without the conf → schema-convert error; retry.
+        except Exception as exc:
+            # Nanos layout without the conf → schema-convert AnalysisException;
+            # only that failure earns the legacy-conf retry.  Anything else
+            # (missing file, permissions) propagates with its real error
+            # instead of a masked second failure + polluted session conf.
+            msg = str(exc)
+            if "nano" not in msg.lower() and "TIMESTAMP(NANOS" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = spark.read.parquet(src)
         if isinstance(raw.schema["ts"].dataType, LongType):

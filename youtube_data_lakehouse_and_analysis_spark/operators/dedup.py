@@ -53,6 +53,11 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 MINHASH_MOD = 2_147_483_647  # 2^31 - 1
 
+# Default hot-bucket cap for LSH candidate discovery: buckets wider than
+# this switch from all-pairs to star pairing (see lsh_candidate_pairs).
+# Shared by the plans layer and its DuckDB oracles.
+DEFAULT_MAX_BUCKET_WIDTH = 10
+
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) multiply-shift coefficients per hash, derived

@@ -48,32 +48,48 @@ def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_pred: Column,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every row matching query_pred.
 
-    Execution: the query matrix (small by contract) ships to executors in
-    the task closure; candidates stream through mapInPandas where the
-    |batch|×|Q| dot-product block is one int64 numpy matmul — exact, so
-    results are bit-identical to the expression form and the SQL oracle
-    (int dots < 2^53; sqrt/div are IEEE ops; fp multiply is commutative).
-    A per-query top-k window trims the |C|×|Q| pair stream.
+    Execution: the query matrix (small by contract, ENFORCED by
+    max_queries) ships to executors in the task closure; candidates
+    stream through mapInPandas where the |batch|×|Q| dot-product block is
+    one int64 numpy matmul — exact, so results are bit-identical to the
+    expression form and the SQL oracle (int dots < 2^53; sqrt/div are
+    IEEE ops; fp multiply is commutative).  A per-query top-k window
+    trims the |C|×|Q| pair stream.
 
     Scale: one pass over the corpus; vectorized compute; the pair stream —
-    not the vectors — shuffles for the window. For |Q| beyond closure
-    size, switch to the LSH path (lsh_topk)."""
+    not the vectors — shuffles for the window.  The driver-side collect
+    of the query set is guarded: a query_pred matching more than
+    max_queries rows raises instead of pulling the corpus to the driver
+    (the limit(max+1) probe costs one scan of the matching slice, never a
+    full materialization).  For |Q| beyond closure size, switch to the
+    LSH path (lsh_topk)."""
     import numpy as np
     import pandas as pd
 
     base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
         "nsq", int_norm_sq(F.col("qv"))
     )
-    qrows = base.filter(query_pred).collect()
+    qrows = base.filter(query_pred).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query_pred matches more than {max_queries} "
+            "rows — the query matrix ships in the task closure and must "
+            "stay small. Narrow the predicate or use lsh_topk for "
+            "corpus-scale query sets."
+        )
     Q = np.array([list(r["qv"]) for r in qrows], dtype=np.int64)
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))

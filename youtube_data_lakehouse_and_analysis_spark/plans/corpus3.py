@@ -404,21 +404,14 @@ def ta13_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd15_oracle() -> str:
-    # Reuse the canonical minhash CTE (plans/dedup.py) so this oracle and
-    # the Spark side share ONE hash family — an independently-written
-    # family can agree on exact dups yet diverge on borderline near-dups.
-    from .dedup import _SIG_CTE
+    # Reuse the canonical minhash CTE + capped pair generation
+    # (plans/dedup.py) so this oracle and the Spark side share ONE hash
+    # family AND one bucket-cap policy — an independently-written family
+    # can agree on exact dups yet diverge on borderline near-dups.
+    from .dedup import capped_pairs_subquery
 
-    return f"""WITH {_SIG_CTE},
-        bandkey AS (
-          SELECT doc_id, seed // 4 AS band,
-                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, seed // 4),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bandkey a
-          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
-                         AND a.doc_id < b.doc_id)
+    return f"""WITH pairs AS (
+          SELECT doc_a, doc_b FROM {capped_pairs_subquery()} t)
         SELECT least(da.source, db.source) AS source_x,
                greatest(da.source, db.source) AS source_y,
                COUNT(*) AS n_pairs
@@ -445,7 +438,8 @@ def dd15_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(
-        D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
+        D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4),
+        max_bucket_width=D.DEFAULT_MAX_BUCKET_WIDTH,
     )
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
@@ -468,18 +462,11 @@ def dd15_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd16_oracle() -> str:
-    from .dedup import _SIG_CTE
+    from .dedup import _SIG_CTE, capped_pairs_subquery
 
     return f"""WITH {_SIG_CTE},
-        bandkey AS (
-          SELECT doc_id, seed // 4 AS band,
-                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, seed // 4),
         pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bandkey a
-          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
-                         AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b FROM {capped_pairs_subquery()} t)
         SELECT p.doc_a, p.doc_b,
                CAST(COALESCE(COUNT(*) FILTER (sa.minhash = sb.minhash), 0) AS BIGINT)
                  AS n_equal,
@@ -511,7 +498,8 @@ def dd16_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=16)
     pairs = D.lsh_candidate_pairs(
-        D.lsh_band_keys(sigs, rows_per_band=4)
+        D.lsh_band_keys(sigs, rows_per_band=4),
+        max_bucket_width=D.DEFAULT_MAX_BUCKET_WIDTH,
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")

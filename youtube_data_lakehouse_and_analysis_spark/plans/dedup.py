@@ -53,6 +53,41 @@ sig AS ({mixes})"""
 
 _SIG_CTE = _sig_cte()
 
+_CAP = D.DEFAULT_MAX_BUCKET_WIDTH  # hot-bucket cap, shared with the Spark side
+
+
+def capped_pairs_subquery(cap: int = _CAP) -> str:
+    """Self-contained DuckDB subquery yielding the CAPPED LSH candidate
+    pairs (doc_a, doc_b) — dd12 semantics, the default for every
+    discovery pipeline: all-pairs within buckets of width <= cap, star
+    pairs (hub = min doc_id) beyond.  Uncapped discovery is the known
+    100 TB skew bomb (one boilerplate bucket of width W emits W(W-1)/2
+    pairs); only dd03 keeps the uncapped form, as the definitional
+    primitive."""
+    return f"""(
+        WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        stats AS (
+          SELECT band, band_key, COUNT(*) AS width, MIN(doc_id) AS hub
+          FROM bandkey GROUP BY band, band_key),
+        keyed AS (
+          SELECT bk.doc_id, bk.band, bk.band_key, s.width, s.hub
+          FROM bandkey bk JOIN stats s USING (band, band_key)),
+        narrow AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM keyed a
+          JOIN keyed b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+          WHERE a.width <= {cap}),
+        star AS (
+          SELECT hub AS doc_a, doc_id AS doc_b FROM keyed
+          WHERE width > {cap} AND doc_id <> hub)
+        SELECT DISTINCT doc_a, doc_b
+        FROM (SELECT * FROM narrow UNION ALL SELECT * FROM star) u)"""
+
 
 @query(
     "dd01_exact_dedup",
@@ -96,9 +131,6 @@ def dd03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=16)
     return D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
-
-
-_CAP = 10  # max bucket width before star-pairing kicks in
 
 
 @query(
@@ -189,17 +221,7 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd07_dup_clusters",
     f"""WITH RECURSIVE
         pairs AS (
-          SELECT doc_a, doc_b FROM (
-            WITH {_SIG_CTE},
-            bandkey AS (
-              SELECT doc_id, seed // 4 AS band,
-                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-              FROM sig GROUP BY doc_id, seed // 4
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bandkey a
-            JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
-                           AND a.doc_id < b.doc_id) t
+          SELECT doc_a, doc_b FROM {capped_pairs_subquery()} t
         ),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -221,12 +243,14 @@ def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     via iterative min-label propagation (operators/cluster.py), then the
     canonical id (= min member) and component size per doc. The oracle
     computes the same closure with a recursive CTE — feasible only at test
-    scale; the iterative join IS the 100 TB path."""
+    scale; the iterative join IS the 100 TB path.  Candidate discovery
+    runs with the default hot-bucket cap (star pairs keep wide buckets
+    connected, so the components are unchanged)."""
     from ..operators.cluster import connected_components
 
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=16)
-    pairs = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    pairs = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4), max_bucket_width=_CAP)
     comp = connected_components(pairs, "doc_a", "doc_b")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, on="component").select(
@@ -245,17 +269,8 @@ _ED_PREFIX = 200  # verify on a fixed prefix: O(P^2) DP per pair, bounded
 
 @query(
     "dd11_edit_distance_verify",
-    f"""WITH {_SIG_CTE},
-        bandkey AS (
-          SELECT doc_id, seed // 4 AS band,
-                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, seed // 4
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bandkey a
-          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
-                         AND a.doc_id < b.doc_id)
+    f"""WITH cand AS (
+          SELECT doc_a, doc_b FROM {capped_pairs_subquery()} t)
         SELECT c.doc_a, c.doc_b,
                levenshtein(substring(da.text, 1, {_ED_PREFIX}),
                            substring(db.text, 1, {_ED_PREFIX})) AS edit_dist,
@@ -282,7 +297,7 @@ def dd11_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of pairs this stage still leaves uncertain."""
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=16)
-    cand = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    cand = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4), max_bucket_width=_CAP)
     da = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.substring("text", 1, _ED_PREFIX).alias("ta"),

@@ -176,21 +176,11 @@ def w08_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_closure_cte() -> str:
-    from .dedup import _SIG_CTE
+    from .dedup import capped_pairs_subquery
 
     return f"""WITH RECURSIVE
         pairs AS (
-          SELECT doc_a, doc_b FROM (
-            WITH {_SIG_CTE},
-            bandkey AS (
-              SELECT doc_id, seed // 4 AS band,
-                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-              FROM sig GROUP BY doc_id, seed // 4
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bandkey a
-            JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
-                           AND a.doc_id < b.doc_id) t
+          SELECT doc_a, doc_b FROM {capped_pairs_subquery()} t
         ),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -231,7 +221,10 @@ def dd08_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=16)
-    pairs = D.lsh_candidate_pairs(D.lsh_band_keys(sigs, rows_per_band=4))
+    pairs = D.lsh_candidate_pairs(
+        D.lsh_band_keys(sigs, rows_per_band=4),
+        max_bucket_width=D.DEFAULT_MAX_BUCKET_WIDTH,
+    )
     comp = connected_components(pairs, "doc_a", "doc_b")
     discard = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")

@@ -102,6 +102,13 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies on a stream (streaming/windows.py:80), where the ts column
     in the key lets the watermark purge state.
 
+    KEY ASSUMPTION: (event_id, ts) is a unique key of events — the
+    oracle is DISTINCT over all six columns, so the gate only holds
+    while no two events share the key with different payloads (with
+    collisions, dropDuplicates keeps an arbitrary survivor).  A canary
+    in tests/test_catalog_layout.py asserts uniqueness so a testdata
+    vintage that breaks it fails loudly there, not here.
+
     Scale: one shuffle on the (event_id, ts) key; with the watermark the
     streaming state store holds only the in-horizon keys — bounded by
     rate x watermark, not stream length."""

@@ -108,11 +108,19 @@ class YouTubeResponsePages(DataSource):
 
 class _PagesStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch stream over the same corpus: each batch picks up
-    response files that appeared since the last committed offset (offset
-    = sorted file list position per endpoint, tracked as a total count of
-    consumed files). Replayable: readBetweenOffsets re-derives a batch
-    purely from offsets over the (immutable, append-only) page directory
-    — the property exactly-once sinks need."""
+    response files that appeared since the last committed offset.
+
+    Offset format: ``{"ep": {endpoint: {"hw": last_basename, "n": count}}}``
+    — a per-endpoint high-watermark filename plus the number of files at
+    or below it.  New files must sort lexicographically AFTER the
+    watermark ("append-only" alone is not enough: a positional count
+    over a re-sorted listing would silently re-deliver old pages and
+    skip the new one if a late file's name sorted early).  The ``n``
+    field makes that contract enforceable: read() recounts files at or
+    below the watermark and raises if a file was inserted beneath it.
+    Replayable: readBetweenOffsets re-derives a batch purely from the
+    two watermarks over the immutable page directory — the property
+    exactly-once sinks need."""
 
     def __init__(self, options: dict):
         self.root = options.get("path")
@@ -136,15 +144,52 @@ class _PagesStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"ep": {}}
+
+    @staticmethod
+    def _by_endpoint(files: list[tuple[str, str]]) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for endpoint, path in files:
+            out.setdefault(endpoint, []).append(path)
+        return out
 
     def read(self, start: dict):
-        files = self._files()
-        end = {"n": len(files)}
-        return iter(self._rows(files[start["n"] : end["n"]])), end
+        grouped = self._by_endpoint(self._files())
+        start_ep = start.get("ep", {})
+        batch: list[tuple[str, str]] = []
+        end_ep: dict[str, dict] = {}
+        for endpoint, paths in grouped.items():
+            st = start_ep.get(endpoint, {"hw": "", "n": 0})
+            below = [p for p in paths if os.path.basename(p) <= st["hw"]]
+            if len(below) != st["n"]:
+                raise RuntimeError(
+                    f"youtube_pages stream: endpoint {endpoint!r} has "
+                    f"{len(below)} files at or below watermark {st['hw']!r} "
+                    f"but {st['n']} were consumed — page filenames must be "
+                    "lexicographically increasing (append-only is not enough)"
+                )
+            new = [p for p in paths if os.path.basename(p) > st["hw"]]
+            batch.extend((endpoint, p) for p in new)
+            hw = os.path.basename(new[-1]) if new else st["hw"]
+            end_ep[endpoint] = {"hw": hw, "n": st["n"] + len(new)}
+        # endpoints that vanished from the listing keep their watermark
+        for endpoint, st in start_ep.items():
+            end_ep.setdefault(endpoint, st)
+        return iter(self._rows(batch)), {"ep": end_ep}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+        grouped = self._by_endpoint(self._files())
+        start_ep = start.get("ep", {})
+        batch: list[tuple[str, str]] = []
+        for endpoint, st_end in end.get("ep", {}).items():
+            lo = start_ep.get(endpoint, {"hw": ""})["hw"]
+            hi = st_end["hw"]
+            batch.extend(
+                (endpoint, p)
+                for p in grouped.get(endpoint, [])
+                if lo < os.path.basename(p) <= hi
+            )
+        return iter(self._rows(batch))
 
     @staticmethod
     def _rows(files: list[tuple[str, str]]) -> list[tuple]:

@@ -92,10 +92,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a file-source stream needs its schema up front — so sniff the parquet
     footer and build the matching schema, mirroring catalog.load's
     normalization to a TimestampType ts either way."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    legacy_nanos = str(ts_arrow) in ("timestamp[ns]", "int64")
+    # Type predicates, not string equality: pyarrow prints tz-annotated
+    # nanos as "timestamp[ns, tz=UTC]", which a string match would miss.
+    legacy_nanos = (
+        pa.types.is_timestamp(ts_arrow) and ts_arrow.unit == "ns"
+    ) or pa.types.is_int64(ts_arrow)
     if legacy_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
