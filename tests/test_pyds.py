@@ -89,3 +89,45 @@ def test_stream_picks_up_new_pages(spark, tmp_path):
         assert {r["page_file"] for r in rows} == {"ch_A.json", "ch_Z.json"}
     finally:
         q.stop()
+
+
+def test_stream_offsets_are_watermark_not_positional(tmp_path):
+    """Drive the reader directly: a new file whose name sorts BEFORE the
+    already-consumed one must be detected and refused (positional-count
+    offsets would silently re-deliver old pages and skip the new file —
+    'append-only' does not imply lexicographically increasing names)."""
+    import json
+    import os
+
+    import pytest
+
+    from youtube_data_lakehouse_and_analysis_spark.sources.pyds import (
+        _PagesStreamReader,
+    )
+
+    root = str(tmp_path / "feed")
+    os.makedirs(f"{root}/channels")
+    with open(f"{root}/channels/ch_M.json", "w") as fh:
+        json.dump({"items": [{"id": "UC_M"}]}, fh)
+
+    reader = _PagesStreamReader({"path": root})
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert len(list(rows1)) == 1
+    assert off1["ep"]["channels"] == {"hw": "ch_M.json", "n": 1}
+
+    # a monotonically-later file is picked up cleanly
+    with open(f"{root}/channels/ch_Z.json", "w") as fh:
+        json.dump({"items": [{"id": "UC_Z"}]}, fh)
+    rows2, off2 = reader.read(off1)
+    assert len(list(rows2)) == 1
+    assert off2["ep"]["channels"] == {"hw": "ch_Z.json", "n": 2}
+
+    # replay between offsets re-derives exactly the second batch
+    replay = list(reader.readBetweenOffsets(off1, off2))
+    assert [r[1] for r in replay] == ["ch_Z.json"]
+
+    # a file sorting BELOW the watermark is a contract violation → loud
+    with open(f"{root}/channels/ch_A.json", "w") as fh:
+        json.dump({"items": [{"id": "UC_A"}]}, fh)
+    with pytest.raises(RuntimeError, match="lexicographically increasing"):
+        reader.read(off2)
