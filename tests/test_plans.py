@@ -488,3 +488,26 @@ def test_q05_join_form_upgrades_to_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_h03_h18_topk_and_single_shuffle(spark):
+    """The new canonical TPC-H forms must keep the 100 TB plan shape:
+    top-k via TakeOrderedAndProject (no global sort) and exactly ONE hash
+    exchange (lineitem shuffles once; every dimension broadcasts)."""
+    for name in (
+        "h03_shipping_priority_topk",
+        "h18_large_volume_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_h05_h17_broadcast_single_shuffle(spark):
+    """Q5's 6-table join and Q17's de-correlated average must broadcast
+    all small sides around a single lineitem shuffle."""
+    for name in ("h05_local_supplier_volume", "h17_small_qty_avg_yearly"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
