@@ -321,3 +321,144 @@ def test_stream_static_enrich_matches_batch(spark):
         for r in enrich_with_nation(load(spark, SF_DIR, "events"), nation).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stateful_real_microbatch_trigger(spark, tmp_path):
+    """Drive applyInPandasWithState under a REAL processing-time trigger
+    (not availableNow / processAllAvailable's drain-everything): files
+    arrive while the query runs, ≥2 distinct micro-batches execute, and
+    per-key state accumulates ACROSS them (the second batch's emission
+    continues from the first batch's totals, proving the state store
+    carried over).
+
+    The TWS variant (streaming/tws.py) is the same semantics on the
+    Spark 4 API; its runtime needs the protobuf package (absent in this
+    container), so the classic API carries the live-trigger coverage and
+    test_transform_with_state_matches_batch remains importorskip-gated."""
+    import datetime as dt
+    import time as _time
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+
+    def batch(tag: int):
+        rows = [
+            (tag * 100 + i, dt.datetime(2024, 1, 1, 0, 0, tag), 7, "click", 1.0)
+            for i in range(10)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch(0)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = running_user_totals(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("live_totals")
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if any(
+                p["batchId"] >= 0 and p["numInputRows"] > 0
+                for p in (q.recentProgress or [])
+            ):
+                break
+            _time.sleep(0.2)
+        batch(1)  # lands while the query is live → a later micro-batch
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT max(n_events_total) AS n FROM live_totals"
+            ).collect()
+            if rows and rows[0]["n"] == 20:
+                break
+            _time.sleep(0.2)
+        progress = list(q.recentProgress or [])
+    finally:
+        q.stop()
+
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, [
+        (p["batchId"], p["numInputRows"]) for p in progress
+    ]
+    # state survived: the cumulative total reached 20 only if batch 2
+    # started from batch 1's stored (10, 10.0)
+    emitted = spark.sql(
+        "SELECT max(n_events_total) AS n, max(value_total) AS v FROM live_totals"
+    ).collect()[0]
+    assert (emitted["n"], emitted["v"]) == (20, 20.0)
+
+
+def test_pyds_stream_real_trigger_offsets_advance(spark, tmp_path):
+    """The custom youtube_pages DataSource under a real processing-time
+    trigger: a page file written while the query runs is picked up in a
+    LATER micro-batch, the committed offsets advance between batches, and
+    nothing is re-delivered."""
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    from youtube_data_lakehouse_and_analysis_spark.sources.pyds import (
+        YouTubeResponsePages,
+    )
+
+    root = str(tmp_path / "feed")
+    os.makedirs(f"{root}/channels")
+    shutil.copy(
+        "/root/repo/tests/fixtures/youtube/channels/ch_A.json",
+        f"{root}/channels/ch_A.json",
+    )
+
+    spark.dataSource.register(YouTubeResponsePages)
+    stream = spark.readStream.format("youtube_pages").option("path", root).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pages_live")
+        .trigger(processingTime="300 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM pages_live").collect()[0]["n"] >= 1:
+                break
+            _time.sleep(0.2)
+        with open(f"{root}/channels/ch_Z.json", "w") as fh:
+            json.dump({"items": [{"id": "UC_Z1"}, {"id": "UC_Z2"}]}, fh)
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM pages_live").collect()[0]["n"] >= 3:
+                break
+            _time.sleep(0.2)
+        progress = list(q.recentProgress or [])
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT page_file FROM pages_live").collect()
+    assert sorted(r["page_file"] for r in rows) == [
+        "ch_A.json",
+        "ch_Z.json",
+        "ch_Z.json",
+    ]
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, [
+        (p["batchId"], p["numInputRows"]) for p in progress
+    ]
+    # committed offsets advanced between the two data batches
+    ends = [
+        json.dumps(p["sources"][0]["endOffset"], sort_keys=True)
+        for p in data_batches
+    ]
+    assert len(set(ends)) >= 2, ends
