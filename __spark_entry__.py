@@ -49,14 +49,17 @@ _SAMPLE_PRIORITY = [
     "st04_stream_dedup", "st05_stream_static_enrich",
     "ta11_top_bigram_fraction", "ta12_oov_rate", "ta13_packing_plan",
     "w11_running_distinct",
-    # --- 18 spot re-checks across families ---
+    # --- 18 slots: r6-new TPC-H forms, queries whose code changed this
+    # round (LSH cap: dd07/dd08/dd11), r4-regression re-proofs, the
+    # perf-weak q01, and family spot re-checks ---
+    "h01_pricing_summary_full", "h03_shipping_priority_topk",
+    "h05_local_supplier_volume", "h17_small_qty_avg_yearly",
+    "h18_large_volume_topk",
+    "dd07_dup_clusters", "dd08_canonical_corpus",
+    "dd11_edit_distance_verify", "dd12_lsh_capped_pairs",
     "q01_project_filter", "q05_groupwise_max", "j05_star_join",
-    "j16_lateral_topn", "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
-    "w09_sliding_median", "a10_mode_per_user", "p01_pivot",
-    "sim05_hybrid_filtered_ann", "sim06_kmeans_step",
-    "st01_tumbling_counts", "ts01_hourly_gap_fill", "ta01_token_stats",
-    "sm02_stratified_sample", "mm02_decode_features", "pd02_udtf_bigrams",
-    "f01_duration_parse",
+    "w09_sliding_median", "pp01_corpus_pipeline", "sim05_hybrid_filtered_ann",
+    "st01_tumbling_counts", "ta01_token_stats", "mm02_decode_features",
 ]
 
 

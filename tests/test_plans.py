@@ -511,3 +511,18 @@ def test_h05_h17_broadcast_single_shuffle(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_pp01_pipeline_plan_shape(spark):
+    """The composed corpus pipeline must keep its scale shape: both joins
+    broadcast (no SortMergeJoin), exactly four hash exchanges — of which
+    only two are corpus-sized (md5-dedup window, source-cap window); the
+    other two repartition the benchmark-sized gram/id sets — and the
+    per-source cap planned as WindowGroupLimit (rank pushed below sort)."""
+    plan = plan_of(spark, "pp01_corpus_pipeline")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange hashpartitioning") == 4, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "WindowGroupLimit" in plan

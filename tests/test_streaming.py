@@ -430,18 +430,25 @@ def test_pyds_stream_real_trigger_offsets_advance(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    try:
-        deadline = _time.time() + 60
+    def await_count(n: int, seconds: float) -> None:
+        # per-phase deadline: ch_Z must not land before batch 1 committed,
+        # or both files collapse into one batch and the >=2-batch assert
+        # fails for the wrong reason
+        deadline = _time.time() + seconds
         while _time.time() < deadline:
-            if spark.sql("SELECT count(*) AS n FROM pages_live").collect()[0]["n"] >= 1:
-                break
+            if (
+                spark.sql("SELECT count(*) AS n FROM pages_live").collect()[0]["n"]
+                >= n
+            ):
+                return
             _time.sleep(0.2)
+        raise AssertionError(f"pages_live did not reach {n} rows in {seconds}s")
+
+    try:
+        await_count(1, 120)
         with open(f"{root}/channels/ch_Z.json", "w") as fh:
             json.dump({"items": [{"id": "UC_Z1"}, {"id": "UC_Z2"}]}, fh)
-        while _time.time() < deadline:
-            if spark.sql("SELECT count(*) AS n FROM pages_live").collect()[0]["n"] >= 3:
-                break
-            _time.sleep(0.2)
+        await_count(3, 120)
         progress = list(q.recentProgress or [])
     finally:
         q.stop()

@@ -240,3 +240,125 @@ def sm03_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pp01 — the end-to-end corpus pipeline, composed
+# ---------------------------------------------------------------------------
+
+_PP_MIN_CHARS = 100  # quality gate
+_PP_BENCH_MOD = 29  # doc_id % 29 == 0 plays the held-out eval set (as dd10)
+_PP_NGRAM = 5  # decontamination shingle width (as dd10)
+_PP_SOURCE_CAP = 10  # per-source contribution cap (as sm05)
+
+
+@query(
+    "pp01_corpus_pipeline",
+    f"""WITH q AS (
+          SELECT doc_id, text, source, n_chars FROM documents
+          WHERE n_chars >= {_PP_MIN_CHARS} AND doc_id % {_PP_BENCH_MOD} <> 0),
+        dedup AS (
+          SELECT doc_id, text, source, n_chars FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM q) WHERE doc_id = keep_id),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     array_to_string(list_slice(ws, i + 1, i + {_PP_NGRAM}), ' ') AS ngram
+              FROM w, UNNEST(range(0, len(ws) - {_PP_NGRAM} + 1)) AS t(i)
+              WHERE len(ws) >= {_PP_NGRAM}),
+        bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % {_PP_BENCH_MOD} = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM g
+          WHERE doc_id % {_PP_BENCH_MOD} <> 0
+            AND ngram IN (SELECT ngram FROM bench)),
+        clean AS (
+          SELECT d.* FROM dedup d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        capped AS (
+          SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM clean),
+        final AS (
+          SELECT source, n_chars,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+                      THEN 'train'
+                      WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8
+                      THEN 'val'
+                      ELSE 'test' END AS split
+          FROM capped WHERE rn <= {_PP_SOURCE_CAP})
+        SELECT source, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM final GROUP BY source, split""",
+)
+def pp01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed dataflow — the
+    query a corpus team actually ships, assembled from the catalog's
+    building blocks in their production order:
+
+      1. quality gate   (n_chars >= 100; ta07's cheapest predicate)
+      2. exact dedup    (md5(text) → keep min doc_id; dd01's shape)
+      3. decontaminate  (drop docs sharing a word 5-gram with the
+                         held-out doc_id%29==0 split; dd10's shape)
+      4. per-source cap (top-10 per source in md5(doc_id) order; sm05)
+      5. split + report (md5 mod 10 → 80/10/10; sm03) rolled up per
+                         (source, split)
+
+    Composing them in one DataFrame lets Catalyst treat the pipeline as a
+    single plan: the quality predicate pushes into the one parquet scan
+    that feeds stages 2-5, and the doc bodies never survive past the
+    md5 projections.
+
+    Scale: stage order is deliberate — the cheap stateless gate runs
+    first so every shuffle downstream sees fewer rows; dedup is one
+    hash-key shuffle; decontamination is two broadcast probes (bench
+    grams, then contaminated ids — both benchmark-sized); the cap is one
+    shuffle on source with a WindowGroupLimit rank; the final rollup is
+    map-side combinable to |sources|×3 rows. Two shuffles over the
+    corpus total, everything else broadcast or map-side."""
+    from pyspark.sql import Window
+
+    from .corpus2 import _word_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(
+        (F.col("n_chars") >= _PP_MIN_CHARS)
+        & (F.col("doc_id") % _PP_BENCH_MOD != 0)
+    ).select("doc_id", "text", "source", "n_chars")
+    # one-shuffle exact dedup: min-id per content hash as a window, no
+    # join back against a second corpus-sized aggregate
+    hw = Window.partitionBy(F.md5("text"))
+    dedup = (
+        q.withColumn("keep_id", F.min("doc_id").over(hw))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text", "source", "n_chars")
+    )
+    grams = _word_ngrams(docs, _PP_NGRAM)
+    bench = (
+        grams.filter(F.col("doc_id") % _PP_BENCH_MOD == 0).select("ngram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % _PP_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = clean.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PP_SOURCE_CAP
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return (
+        capped.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
