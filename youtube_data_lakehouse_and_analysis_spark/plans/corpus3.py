@@ -523,3 +523,124 @@ def dd16_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_equal").cast("double") / 16).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ta14 — within-document duplicate n-gram mass (Gopher rep-ngram rule)
+# ---------------------------------------------------------------------------
+
+_DUP_N = 4
+
+
+@query(
+    "ta14_dup_ngram_mass",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     array_to_string(list_slice(ws, i + 1, i + {_DUP_N}), ' ') AS ngram
+              FROM w, UNNEST(range(0, len(ws) - {_DUP_N} + 1)) AS t(i)
+              WHERE len(ws) >= {_DUP_N}),
+        c AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM g GROUP BY doc_id, ngram),
+        d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                     CAST(COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS BIGINT) AS dup_mass
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_grams, dup_mass,
+               CAST(dup_mass AS DOUBLE) / n_grams AS dup_frac,
+               (dup_mass * 5 <= n_grams) AS keep
+        FROM d""",
+)
+def ta14_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's within-document repetition rule at n-gram-occurrence
+    granularity: the fraction of a document's word 4-gram occurrences
+    that belong to a REPEATED 4-gram (cnt ≥ 2), gated at 20%
+    (cross-multiplied: dup_mass*5 ≤ n_grams).  ta11 catches one dominant
+    bigram; this catches diffuse self-repetition — a page that loops its
+    own paragraphs trips dup_mass long before any single n-gram wins
+    ta11's top slot.  Complements dd09, which finds n-grams repeated
+    ACROSS documents.
+
+    Scale: 4-gram generation is map-side; the (doc_id, ngram) histogram
+    partial-aggregates before its single shuffle, and the per-doc rollup
+    rides the same doc_id-prefixed partitioning. At 100 TB carry
+    xxhash64(ngram) instead of the string through the histogram."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= _DUP_N)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - _DUP_N)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("ws"), F.col("i") + 1, _DUP_N), " ").alias("ngram"),
+        )
+    )
+    hist = grams.groupBy("doc_id", "ngram").agg(F.count("*").alias("cnt"))
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("dup_mass"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_mass",
+            (F.col("dup_mass").cast("double") / F.col("n_grams")).alias("dup_frac"),
+            (F.col("dup_mass") * 5 <= F.col("n_grams")).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta15 — per-source median-length gate (rank-based, no interpolation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ta15_per_source_median_gate",
+    """WITH r AS (
+         SELECT source, doc_id, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS rk,
+                COUNT(*) OVER (PARTITION BY source) AS n_source
+         FROM documents)
+       SELECT source, doc_id, n_chars, rk, n_source,
+              (2 * rk > n_source) AS keep
+       FROM r""",
+)
+def ta15_per_source_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality thresholding: keep each document only if it sits
+    in the UPPER half of its own source's length distribution — the
+    per-domain adaptive gate that absolute thresholds (ta07) can't
+    express (a length fine for forum posts is suspicious for e-books).
+    The median is decided by integer rank (2·rank > count), never an
+    interpolated percentile — interpolation doubles differ between
+    engines; ranks cannot.
+
+    Scale: one shuffle on source; both window functions share the single
+    sort (row_number and the partition count ride the same frame). A
+    skewed mega-source is one hot partition — the same salted two-level
+    treatment as sm05 applies if a source ever dominates."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_source", F.count("*").over(wc))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "rk",
+            "n_source",
+            (2 * F.col("rk") > F.col("n_source")).alias("keep"),
+        )
+    )
