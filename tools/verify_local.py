@@ -68,6 +68,9 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
 
     con = duckdb.connect()
     for t in (
