@@ -232,3 +232,47 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+def int8_requantize(qv: Column) -> Column:
+    """Symmetric int8 re-quantization of an integer-grid vector: each
+    component maps to round(v / amax * 127) ∈ [-127, 127], amax = max|v|.
+
+    The scale-compression step of quantized vector search (FAISS SQ8 /
+    Milvus-style): 8 bits per dimension is 4× less vector IO and memory
+    than float32 at ~1% cosine-ranking error, which is what makes a
+    100 TB embedding corpus scannable.
+
+    Rounding runs entirely on integers — round(a/b) for a,b > 0 is
+    (2a + b) div (2b), applied to |v| with the sign re-attached — so the
+    result is bit-identical on Spark and DuckDB with no float-tie
+    hazard (round-half-away-from-zero semantics on both by
+    construction). A zero vector (amax = 0) stays all-zero. The double
+    division inside floor() is safe: operands are < 2^35, so the
+    quotient is within 2^-25 of the rational value, far beyond the
+    half-ulp it would take to cross an integer boundary."""
+    amax = F.array_max(F.transform(qv, lambda v: F.abs(v)))
+    def req(v):
+        mag = F.floor((F.lit(2) * F.abs(v) * 127 + amax) / (F.lit(2) * amax)).cast("long")
+        return F.when(amax == 0, F.lit(0).cast("long")).otherwise(
+            F.when(v >= 0, mag).otherwise(-mag)
+        )
+    return F.transform(qv, req)
+
+
+def project_signs(qv: Column, signs: list[list[int]]) -> Column:
+    """Johnson-Lindenstrauss-style random projection: the input vector's
+    exact integer dot product with each ±1 hyperplane, as array<long> of
+    len(signs) components.
+
+    Where `lsh_bucket` keeps only the projection SIGNS (1 bit/plane),
+    this keeps the projected VALUES — a 64→P dimensionality reduction
+    whose pairwise cosines approximate the originals (JL lemma), so the
+    per-pair scoring cost in a rerank drops by dims/P while staying
+    deterministic (integer projections, exact on both engines)."""
+    return F.array(
+        *[
+            int_dot(qv, F.array(*[F.lit(s) for s in row]).cast("array<long>"))
+            for row in signs
+        ]
+    )

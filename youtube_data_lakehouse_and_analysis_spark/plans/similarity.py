@@ -309,3 +309,188 @@ def sim06_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
         .agg(F.count("*").alias("n_members"), F.sum("d2").alias("inertia"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sim07 — int8 scalar-quantized search; sim08 — random-projection reduction
+# ---------------------------------------------------------------------------
+
+_INT8_SQL = """
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, qv, list_max(list_transform(qv, v -> abs(v))) AS amax FROM base
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(qv, v -> CASE
+             WHEN amax = 0 THEN 0
+             WHEN v >= 0 THEN CAST(floor((2 * v * 127 + amax) / (2.0 * amax)) AS BIGINT)
+             ELSE -CAST(floor((2 * (-v) * 127 + amax) / (2.0 * amax)) AS BIGINT)
+           END) AS v8
+  FROM m
+),
+withnorm8 AS (
+  SELECT vec_id, v8,
+         list_sum(list_transform(range(1, 65), i -> v8[i] * v8[i])) AS nsq
+  FROM q8
+)"""
+
+
+@query(
+    "sim07_int8_quantized_topk",
+    f"""WITH {_INT8_SQL},
+        q AS (SELECT vec_id AS query_id, v8 AS q_vec, nsq AS q_nsq
+              FROM withnorm8 WHERE vec_id % 40 = 0),
+        c AS (SELECT vec_id AS cand_id, v8 AS c_vec, nsq AS c_nsq FROM withnorm8),
+        scored AS (
+          SELECT query_id, cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                 / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
+          FROM q CROSS JOIN c WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5""",
+)
+def sim07_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine search over int8 scalar-quantized vectors (FAISS-SQ8
+    shape): each vector is re-quantized to [-127, 127] by its own max
+    magnitude, then scored exactly in the quantized space. The per-vector
+    scale cancels in cosine, so no dequantization happens at query time.
+
+    Scale: int8 storage is 4× smaller than float32 — at 100 TB of
+    embeddings this is the difference between a scannable corpus and not;
+    the quantized scan also SIMD-vectorizes 4× wider. Quantization is
+    map-side (array_max + transform, integer-only rounding — see
+    operators/similarity.py::int8_requantize for the no-float-tie
+    construction); search cost/shape is identical to sim01's baseline and
+    composes with the LSH/IVF candidate cuts (sim02/sim04)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S.quantize("embedding").alias("qv"))
+    q8 = base.select(
+        "vec_id", S.int8_requantize(F.col("qv")).alias("v8")
+    ).withColumn("nsq", S.int_norm_sq(F.col("v8")))
+    q = q8.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v8").alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = q8.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v8").alias("c_vec"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            S.cosine_from_ints(
+                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+_RP_PLANES = 16
+_SIGNS16 = S.hyperplane_signs(_RP_PLANES, _DIMS)
+
+
+def _sql_signs16_list(p: int) -> str:
+    return "[" + ", ".join(str(s) for s in _SIGNS16[p]) + "]"
+
+
+def _sql_projection_list() -> str:
+    terms = [
+        f"list_sum(list_transform(range(1, 65), i -> qv[i] * ({_sql_signs16_list(p)})[i]))"
+        for p in range(_RP_PLANES)
+    ]
+    return "[" + ", ".join(terms) + "]"
+
+
+@query(
+    "sim08_random_projection_topk",
+    f"""WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        red AS (
+          SELECT vec_id, {_sql_projection_list()} AS rv FROM base
+        ),
+        withnorm AS (
+          SELECT vec_id, rv,
+                 list_sum(list_transform(range(1, {_RP_PLANES + 1}), i -> rv[i] * rv[i])) AS nsq
+          FROM red
+        ),
+        q AS (SELECT vec_id AS query_id, rv AS q_vec, nsq AS q_nsq
+              FROM withnorm WHERE vec_id % 45 = 0),
+        c AS (SELECT vec_id AS cand_id, rv AS c_vec, nsq AS c_nsq FROM withnorm),
+        scored AS (
+          SELECT query_id, cand_id,
+                 CAST(list_sum(list_transform(range(1, {_RP_PLANES + 1}), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                 / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
+          FROM q CROSS JOIN c WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5""",
+)
+def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine search in a 16-dim random projection of the 64-dim
+    embeddings (Johnson-Lindenstrauss reduction with deterministic ±1
+    hyperplanes — the value-preserving cousin of sim02's sign-only LSH).
+    Projections are exact integer dot products, so both engines rank
+    identically.
+
+    Scale: candidate scoring in the reduced space costs dims/P = 4× less
+    FLOPs and memory bandwidth per pair, which is the standard
+    coarse-rank trick before an exact rerank on the surviving few (here
+    the reduced-space ranking IS the query, making the JL approximation
+    itself the object under test). Projection is one map-side pass;
+    storage of the reduced corpus is P/dims of the original."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S.quantize("embedding").alias("qv"))
+    red = base.select(
+        "vec_id", S.project_signs(F.col("qv"), _SIGNS16).alias("rv")
+    ).withColumn("nsq", S.int_norm_sq(F.col("rv")))
+    q = red.filter(F.col("vec_id") % 45 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rv").alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = red.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("rv").alias("c_vec"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            S.cosine_from_ints(
+                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
