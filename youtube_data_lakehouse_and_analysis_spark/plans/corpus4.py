@@ -1,0 +1,229 @@
+"""Training-data pipeline operators, batch 4: Bloom-filter benchmark
+decontamination and temperature-scaled source mixing.
+
+  dd17 — the Bloom variant of dd10's exact n-gram decontamination: the
+         eval set's 5-gram inventory is folded into an m-bit / k-hash
+         Bloom signature and training docs are flagged by bit membership,
+         with the false-positive count reported against the exact join
+  sm06 — temperature sampling (the mT5/multilingual mixing rule): each
+         language's share of the output mixture is proportional to
+         n^α (α = 1/2 here), flattening head languages and boosting the
+         tail, with the concrete per-language sample pinned by content
+         hash
+
+The reference has no corpus ops (SURVEY §2.11; its text columns pass
+through untouched, /root/reference/app.py:322-389) — this family is part
+of the 100 TB extension surface, expressed entirely in JVM built-ins.
+
+Determinism notes: Bloom bit positions come from the portable md5-prefix
+hash (functions/text.py) so both engines compute the identical bit set —
+false positives included; sm06's α = 1/2 weights use floor(sqrt(n)) so
+the weight basis, its sum, and every derived target count are pure
+integer arithmetic (no order-dependent float summation), with exactly one
+IEEE division per reported weight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import md5_prefix_long
+from .corpus2 import _BENCH_MOD, _N, _word_ngrams
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# dd17 — Bloom-filter decontamination with false-positive accounting
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536  # bits in the filter — sized so the bench-gram fill stays
+#                   ~20% (the eval split holds ~2.6k distinct 5-grams here);
+#                   an undersized filter saturates and flags everything
+_BLOOM_K = 5  # hash functions (seeds 0..k-1): fp/gram = fill^k ≈ 2e-4
+
+
+def _sql_pos(expr: str) -> str:
+    """DuckDB twin of md5_prefix_long(expr) % _BLOOM_M."""
+    return (
+        f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_DD17_SQL = f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 array_to_string(list_slice(ws, i + 1, i + {_N}), ' ') AS ngram
+          FROM w, UNNEST(range(0, len(ws) - {_N} + 1)) AS t(i)
+          WHERE len(ws) >= {_N}),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    bloom_bits AS (
+      SELECT DISTINCT {_sql_pos("CAST(s AS VARCHAR) || '|' || ngram")} AS pos
+      FROM bench, UNNEST(range(0, {_BLOOM_K})) AS u(s)),
+    train_g AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+    probes AS (
+      SELECT doc_id, ngram,
+             {_sql_pos("CAST(s AS VARCHAR) || '|' || ngram")} AS pos
+      FROM train_g, UNNEST(range(0, {_BLOOM_K})) AS u(s)),
+    hits AS (SELECT doc_id, ngram, COUNT(*) AS k_hit
+             FROM probes WHERE pos IN (SELECT pos FROM bloom_bits)
+             GROUP BY doc_id, ngram),
+    bloom_docs AS (SELECT DISTINCT doc_id FROM hits WHERE k_hit = {_BLOOM_K}),
+    exact_docs AS (SELECT DISTINCT doc_id FROM train_g
+                   WHERE ngram IN (SELECT ngram FROM bench))
+    SELECT d.source,
+           COUNT(*) AS n_train,
+           SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bloom_flagged,
+           SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS exact_hits,
+           SUM(CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NULL
+                    THEN 1 ELSE 0 END) AS false_positives
+    FROM documents d
+    LEFT JOIN bloom_docs b ON d.doc_id = b.doc_id
+    LEFT JOIN exact_docs e ON d.doc_id = e.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY d.source"""
+
+
+@query("dd17_bloom_decontaminate", _DD17_SQL)
+def dd17_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination, reported per source against
+    the exact answer: the eval split's (doc_id % 29 == 0) distinct word
+    5-grams are hashed into an m=4096-bit / k=3 Bloom signature; a
+    training document is bloom-flagged when ANY of its 5-grams has all k
+    bit positions set. exact_hits re-runs dd10's exact membership join on
+    the same grams, so false_positives = bloom_flagged − exact_hits is
+    the filter's measured error (deterministic — both engines compute the
+    identical md5-derived bit set, so the SAME false positives).
+
+    Scale: this is why the Bloom form exists — the exact join must
+    broadcast the eval set's distinct n-gram STRINGS (GBs for a large
+    benchmark suite), while the Bloom signature is m bits regardless
+    (128 MB covers 10⁹ grams at ~1% fp), shippable in every task closure.
+    Probing is map-side; only the per-(doc, gram) seed-hit count
+    aggregates, and it collapses in partial agg. Here the bit set is a
+    one-column broadcast-semi-join (≤ m rows) — the literal-bitmap
+    closure variant is the same plan minus the join."""
+    docs = load(spark, sf_dir, "documents")
+    seeds = F.array(*[F.lit(s) for s in range(_BLOOM_K)])
+
+    def pos(ngram_col):
+        return md5_prefix_long(
+            F.concat(F.col("s").cast("string"), F.lit("|"), ngram_col)
+        ) % _BLOOM_M
+
+    grams = _word_ngrams(docs, _N)
+    bench = grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("ngram").distinct()
+    bloom_bits = (
+        bench.select(F.explode(seeds).alias("s"), "ngram")
+        .select(pos(F.col("ngram")).alias("pos"))
+        .distinct()
+    )
+    train_g = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).distinct()
+    probes = train_g.select(
+        "doc_id", "ngram", F.explode(seeds).alias("s")
+    ).select("doc_id", "ngram", pos(F.col("ngram")).alias("pos"))
+    hits = (
+        probes.join(F.broadcast(bloom_bits), "pos", "left_semi")
+        .groupBy("doc_id", "ngram")
+        .agg(F.count("*").alias("k_hit"))
+    )
+    bloom_docs = hits.filter(F.col("k_hit") == _BLOOM_K).select("doc_id").distinct()
+    exact_docs = (
+        train_g.join(F.broadcast(bench), "ngram", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bloom_docs.withColumn("b", F.lit(1))), "doc_id", "left")
+        .join(F.broadcast(exact_docs.withColumn("e", F.lit(1))), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0)).alias("bloom_flagged"),
+            F.sum(F.when(F.col("e").isNotNull(), 1).otherwise(0)).alias("exact_hits"),
+            F.sum(
+                F.when(F.col("b").isNotNull() & F.col("e").isNull(), 1).otherwise(0)
+            ).alias("false_positives"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sm06 — temperature-scaled language mixing (n^α, α = 1/2)
+# ---------------------------------------------------------------------------
+
+_MIX_T = 200  # total documents the mixture targets
+
+
+_SM06_SQL = f"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS sw FROM n),
+    d AS (SELECT SUM(sw) AS denom FROM s),
+    t AS (SELECT lang, n_docs, sw, denom,
+                 CAST(sw AS DOUBLE) / denom AS temp_weight,
+                 ({_MIX_T} * sw) // denom AS target_n
+          FROM s CROSS JOIN d),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT), doc_id) AS rn
+          FROM documents),
+    k AS (SELECT r.lang, COUNT(*) AS sampled_n, SUM(doc_id) AS sample_id_sum
+          FROM r JOIN t ON r.lang = t.lang
+          WHERE rn <= target_n GROUP BY r.lang)
+    SELECT t.lang, t.n_docs, t.temp_weight, t.target_n,
+           COALESCE(k.sampled_n, 0) AS sampled_n,
+           COALESCE(k.sample_id_sum, 0) AS sample_id_sum
+    FROM t LEFT JOIN k ON t.lang = k.lang"""
+
+
+@query("sm06_temperature_mixing", _SM06_SQL)
+def sm06_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over languages (the mT5/XLM-R mixing rule):
+    each language's target share of a {_MIX_T}-doc mixture is
+    w_l = n_l^α / Σ n^α with α = 1/2, flattening the head (English keeps
+    less than its raw share) and boosting the tail. The weight basis is
+    floor(sqrt(n)) — an integer — so the denominator is an
+    order-independent integer sum and target_n = (T·s_l) div Σs is exact
+    integer arithmetic on both engines; temp_weight is one IEEE division
+    for reporting. The concrete sample is the target_n lowest
+    (md5(doc_id), doc_id)-ranked docs per language — content-hash-pinned,
+    so reruns, engines, and partitionings agree row-for-row (sample_id_sum
+    pins the actual selection, not just its size).
+
+    Scale: the weight table is |languages| rows (broadcast); ranking
+    shuffles once on lang — for skewed corpora swap the global per-lang
+    ROW_NUMBER for the hash-threshold filter (sm04's shape) to avoid
+    sorting a dominant language, at the cost of approximate target
+    counts."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = n.withColumn("sw", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    d = s.agg(F.sum("sw").alias("denom"))
+    t = s.crossJoin(F.broadcast(d)).select(
+        "lang",
+        "n_docs",
+        "sw",
+        "denom",
+        (F.col("sw").cast("double") / F.col("denom")).alias("temp_weight"),
+        F.expr(f"({_MIX_T} * sw) div denom").alias("target_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        md5_prefix_long(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    k = (
+        r.join(F.broadcast(t.select("lang", "target_n")), "lang")
+        .filter(F.col("rn") <= F.col("target_n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("sampled_n"), F.sum("doc_id").alias("sample_id_sum"))
+    )
+    return (
+        t.join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "temp_weight",
+            "target_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
+            F.coalesce(F.col("sample_id_sum"), F.lit(0)).alias("sample_id_sum"),
+        )
+    )

@@ -414,3 +414,48 @@ def ev08_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count("mask").cast("int").alias("n_event_types"),
         )
     )
+
+
+@query(
+    "ev09_path_trigrams",
+    """WITH seq AS (
+         SELECT event_type AS e1,
+                LEAD(event_type, 1) OVER w AS e2,
+                LEAD(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       paths AS (
+         SELECT e1 || '>' || e2 || '>' || e3 AS path FROM seq
+         WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+       SELECT path, COUNT(*) AS n_paths
+       FROM paths GROUP BY path
+       ORDER BY n_paths DESC, path LIMIT 10""",
+)
+def ev09_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the ten most common 3-step event-type
+    sequences across per-user timelines (the "what do users do next"
+    primitive under journey/flow analysis). Each user's events are
+    ordered by (ts, event_id) — event_id breaks timestamp ties, so the
+    sequence (and therefore every trigram) is deterministic on both
+    engines.
+
+    Scale: one shuffle on user_id for the sequence window (lead(1)/
+    lead(2) share a single sort), then a combine-friendly path count
+    (≤|event_types|³ = 125 groups here) and a global top-10 that
+    executes as TakeOrderedAndProject — no driver-side sequence
+    assembly, no collect_list of whole user histories."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )

@@ -206,3 +206,108 @@ def ta06_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# ta16 — character-distribution concentration per source (gibberish gate)
+# ---------------------------------------------------------------------------
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ta16_sql() -> str:
+    cnts = ",\n                ".join(
+        f"SUM(length(t) - length(replace(t, '{ch}', ''))) AS c_{ch}" for ch in _LETTERS
+    )
+    total = " + ".join(f"c_{ch}" for ch in _LETTERS)
+    nz = " + ".join(f"(CASE WHEN c_{ch} > 0 THEN 1 ELSE 0 END)" for ch in _LETTERS)
+    maxc = "greatest(" + ", ".join(f"c_{ch}" for ch in _LETTERS) + ")"
+    sumsq = " + ".join(f"c_{ch} * c_{ch}" for ch in _LETTERS)
+    return f"""WITH t AS (
+          SELECT source, regexp_replace(lower(text), '[^a-z]', '', 'g') AS t
+          FROM documents),
+        agg AS (
+          SELECT source, COUNT(*) AS n_docs,
+                {cnts}
+          FROM t GROUP BY source),
+        tot AS (
+          SELECT source, n_docs,
+                 ({total}) AS total_letters,
+                 ({nz}) AS distinct_letters,
+                 {maxc} AS max_letter_count,
+                 ({sumsq}) AS sum_sq
+          FROM agg)
+        SELECT source, n_docs, total_letters, distinct_letters, max_letter_count,
+               CASE WHEN total_letters = 0 THEN 0.0
+                    ELSE CAST(max_letter_count AS DOUBLE) / total_letters END AS top_frac,
+               CASE WHEN total_letters = 0 THEN 0.0
+                    ELSE CAST(sum_sq AS DOUBLE) / (total_letters * total_letters) END AS collision
+        FROM tot"""
+
+
+@query("ta16_char_collision", _ta16_sql())
+def ta16_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution concentration per source: pooled a-z letter
+    counts, the fraction taken by the most frequent letter, and the
+    collision probability Σpᵢ² (the Rényi-2 / Simpson concentration — an
+    entropy stand-in with NO transcendental functions, so it is exact
+    integer arithmetic up to one final IEEE division and hashes
+    identically on both engines; ln-based entropy would be libm-dependent).
+    High collision or top_frac flags repetitive/gibberish sources the way
+    an entropy filter would in a quality pipeline.
+
+    Per-letter counts use the length-difference idiom (length(t) -
+    length(replace(t, ch, ''))) — 26 fixed expressions, no per-character
+    explode, so the doc row count never multiplies.
+
+    Scale: entirely map-side expression work followed by one
+    combine-friendly groupBy(source) over 26 integer sums — a fixed-width
+    state regardless of document size; at 100 TB this runs at scan speed
+    with a KB-sized shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    per_doc = docs.select(
+        "source",
+        *[
+            (F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))).alias(f"c_{ch}")
+            for ch in _LETTERS
+        ],
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(f"c_{ch}").alias(f"c_{ch}") for ch in _LETTERS],
+    )
+    total = sum((F.col(f"c_{ch}") for ch in _LETTERS[1:]), F.col("c_a"))
+    nz = sum(
+        (F.when(F.col(f"c_{ch}") > 0, 1).otherwise(0) for ch in _LETTERS[1:]),
+        F.when(F.col("c_a") > 0, 1).otherwise(0),
+    )
+    maxc = F.greatest(*[F.col(f"c_{ch}") for ch in _LETTERS])
+    sumsq = sum(
+        (F.col(f"c_{ch}") * F.col(f"c_{ch}") for ch in _LETTERS[1:]),
+        F.col("c_a") * F.col("c_a"),
+    )
+    tot = agg.select(
+        "source",
+        "n_docs",
+        total.alias("total_letters"),
+        nz.alias("distinct_letters"),
+        maxc.alias("max_letter_count"),
+        sumsq.alias("sum_sq"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "total_letters",
+        F.col("distinct_letters").cast("int").alias("distinct_letters"),
+        "max_letter_count",
+        F.when(F.col("total_letters") == 0, F.lit(0.0))
+        .otherwise(F.col("max_letter_count").cast("double") / F.col("total_letters"))
+        .alias("top_frac"),
+        F.when(F.col("total_letters") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("sum_sq").cast("double")
+            / (F.col("total_letters") * F.col("total_letters"))
+        )
+        .alias("collision"),
+    )
