@@ -526,3 +526,29 @@ def test_pp01_pipeline_plan_shape(spark):
         "Exchange hashpartitioning"
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_ev09_single_sequence_shuffle_and_topk(spark):
+    """ev09: lead(1)/lead(2) share ONE user_id sort/shuffle; the path count
+    aggregates combine-friendly; the top-10 is a heap, not a global sort."""
+    plan = plan_of(spark, "ev09_path_trigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2  # window shuffle + agg shuffle
+    assert plan.count("Window") == 1  # both leads in one window frame
+
+
+def test_dd17_bloom_probes_broadcast(spark):
+    """dd17: the bit set, gram set, and both doc-flag sets are broadcast —
+    the corpus side never sort-merge-shuffles for a membership probe."""
+    plan = plan_of(spark, "dd17_bloom_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_ta16_map_side_only(spark):
+    """ta16: 26 letter counters fold into ONE combine-friendly groupBy —
+    a single exchange, no join, no Python, no per-char explode."""
+    plan = plan_of(spark, "ta16_char_collision")
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

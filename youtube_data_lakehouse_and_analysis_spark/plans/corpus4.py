@@ -217,7 +217,7 @@ def sm06_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sampled_n"), F.sum("doc_id").alias("sample_id_sum"))
     )
     return (
-        t.join(k, "lang", "left")
+        t.join(F.broadcast(k), "lang", "left")
         .select(
             "lang",
             "n_docs",
