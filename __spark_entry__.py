@@ -49,17 +49,18 @@ _SAMPLE_PRIORITY = [
     "st04_stream_dedup", "st05_stream_static_enrich",
     "ta11_top_bigram_fraction", "ta12_oov_rate", "ta13_packing_plan",
     "w11_running_distinct",
-    # --- 18 slots: r6-new TPC-H forms, queries whose code changed this
-    # round (LSH cap: dd07/dd08/dd11), r4-regression re-proofs, the
-    # perf-weak q01, and family spot re-checks ---
+    # --- 18 slots: every other query NEW this round (TPC-H canon forms,
+    # pp01, and the six r6 additions), queries whose code changed this
+    # round (LSH cap default: dd07/dd08/dd12), the r4-regression re-proof
+    # w09, the perf-weak q01, and the flagship q05 ---
     "h01_pricing_summary_full", "h03_shipping_priority_topk",
     "h05_local_supplier_volume", "h17_small_qty_avg_yearly",
-    "h18_large_volume_topk",
-    "dd07_dup_clusters", "dd08_canonical_corpus",
-    "dd11_edit_distance_verify", "dd12_lsh_capped_pairs",
-    "q01_project_filter", "q05_groupwise_max", "j05_star_join",
-    "w09_sliding_median", "pp01_corpus_pipeline", "sim05_hybrid_filtered_ann",
-    "st01_tumbling_counts", "ta01_token_stats", "mm02_decode_features",
+    "h18_large_volume_topk", "pp01_corpus_pipeline",
+    "sim07_int8_quantized_topk", "sim08_random_projection_topk",
+    "dd17_bloom_decontaminate", "sm06_temperature_mixing",
+    "ev09_path_trigrams", "ta16_char_collision",
+    "dd07_dup_clusters", "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
+    "w09_sliding_median", "q01_project_filter", "q05_groupwise_max",
 ]
 
 

