@@ -233,3 +233,51 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
         .groupBy(id_col)
         .agg(F.sum(F.expr("shiftleft(cast(bit AS BIGINT), cast(b AS INT))")).alias("simhash"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over pairs sharing ≥1 shingle:
+    containment = |A∩B| / min(|A|, |B|) — the quote/subset detector.
+    A short document pasted inside a long one scores containment ≈ 1
+    while its Jaccard stays low (the union is dominated by the long
+    doc), so Jaccard-threshold dedup systematically misses it; corpus
+    pipelines run both metrics over the same candidate pairs. Jaccard is
+    reported alongside so the asymmetric catches are visible
+    (containment ≥ τ AND jaccard < τ). Integer counts, IEEE divisions —
+    engine-exact.
+
+    Scale: same verify-stage contract as jaccard_pairs — candidate-
+    scoped, never the discovery stage; the shingle equi-join and both
+    size joins shuffle on doc keys."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on=["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )

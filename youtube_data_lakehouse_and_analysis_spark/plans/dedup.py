@@ -317,3 +317,31 @@ def dd11_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dist * 10 <= F.lit(_ED_PREFIX)).alias("is_dup"),
         )
     )
+
+
+@query(
+    "dd18_containment_pairs",
+    f"""WITH {_SHING_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.3""",
+)
+def dd18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment ≥ 0.3 with Jaccard alongside — catches the
+    quote/subset duplicates (short doc embedded in a long one) that a
+    Jaccard threshold misses. On THIS synthetic corpus every
+    high-containment pair is also high-Jaccard (no partial embeddings in
+    the generator) — the dual-column output is what makes that checkable
+    rather than assumed. Verify-stage contract, like dd04: runs on
+    shingle-sharing candidates, never as all-pairs discovery."""
+    return D.containment_pairs(load(spark, sf_dir, "documents"), threshold=0.3)

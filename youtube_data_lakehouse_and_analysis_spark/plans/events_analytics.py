@@ -459,3 +459,61 @@ def ev09_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "ev10_rfm_segments",
+    """WITH p AS (
+         SELECT user_id,
+                MAX(ts) AS last_purchase,
+                COUNT(*) AS frequency,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       scored AS (
+         SELECT user_id, monetary,
+                NTILE(5) OVER (ORDER BY last_purchase, user_id) AS r_score,
+                NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+                NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+         FROM p)
+       SELECT r_score, f_score, m_score,
+              COUNT(*) AS n_users,
+              CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+       FROM scored GROUP BY r_score, f_score, m_score""",
+)
+def ev10_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM/value model): per purchasing
+    user, recency (last purchase), frequency (purchase count), monetary
+    (exact-decimal spend), each scored into quintiles — 5 = most recent /
+    most frequent / highest spend — then rolled up to segment cells with
+    user counts and segment value. Every NTILE sits on a
+    (metric, user_id) total order, so quintile boundaries are
+    deterministic on both engines; money runs through DECIMAL(18,2).
+
+    Scale: one shuffle to the per-user purchase profile (combine-friendly
+    MAX/COUNT/SUM). The three unpartitioned NTILEs are the textbook
+    global-sort hazard — fine here because the input is already one row
+    per purchasing USER (orders of magnitude smaller than events), and at
+    true scale each becomes approx-quantile cut points (5 numbers)
+    broadcast into a map-side CASE — same output contract, no global
+    sort. The final rollup has ≤125 cells."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+    )
+    scored = p.select(
+        "user_id",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_purchase", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
+    )
