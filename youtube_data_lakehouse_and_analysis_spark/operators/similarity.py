@@ -276,3 +276,59 @@ def project_signs(qv: Column, signs: list[list[int]]) -> Column:
             for row in signs
         ]
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    signs: list[list[int]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN: each query probes its own bucket PLUS the
+    len(signs) buckets at Hamming distance 1 (one sign bit flipped) —
+    the standard recall lever for sign-LSH (Lv et al., multi-probe LSH):
+    near neighbors that landed just across one hyperplane become
+    reachable without adding tables.
+
+    Cost model: candidates per query grow from |C|/2^P to
+    (P+1)·|C|/2^P — still a vanishing fraction of the corpus at scale;
+    the probe list is a P+1-element explode on the QUERY side only
+    (queries are the small side), and the join stays a bucket equi-join.
+    A (query, candidate) pair matches at most one probe (probe values
+    are distinct, candidates hold one bucket), so no dedup shuffle is
+    needed before scoring."""
+    base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "nsq", int_norm_sq(F.col("qv"))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), signs))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(len(signs))]
+    )
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+        F.explode(probes).alias("probe_bucket"),
+    )
+    c = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qv").alias("c_vec"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, on=q["probe_bucket"] == c["c_bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        cosine_from_ints(int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
