@@ -49,18 +49,19 @@ _SAMPLE_PRIORITY = [
     "st04_stream_dedup", "st05_stream_static_enrich",
     "ta11_top_bigram_fraction", "ta12_oov_rate", "ta13_packing_plan",
     "w11_running_distinct",
-    # --- 18 slots: every other query NEW this round (TPC-H canon forms,
-    # pp01, and the six r6 additions), queries whose code changed this
-    # round (LSH cap default: dd07/dd08/dd12), the r4-regression re-proof
-    # w09, the perf-weak q01, and the flagship q05 ---
+    # --- 18 slots: every query NEW this round (TPC-H canon forms, pp01,
+    # and the ten r6 additions) plus re-proofs of the queries whose code
+    # changed this round (LSH cap default: dd12 itself and dd08, the
+    # end of the capped-pair chain) ---
     "h01_pricing_summary_full", "h03_shipping_priority_topk",
     "h05_local_supplier_volume", "h17_small_qty_avg_yearly",
     "h18_large_volume_topk", "pp01_corpus_pipeline",
     "sim07_int8_quantized_topk", "sim08_random_projection_topk",
-    "dd17_bloom_decontaminate", "sm06_temperature_mixing",
-    "ev09_path_trigrams", "ta16_char_collision",
-    "dd07_dup_clusters", "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
-    "w09_sliding_median", "q01_project_filter", "q05_groupwise_max",
+    "sim09_ann_recall", "sim10_multiprobe_recall",
+    "dd17_bloom_decontaminate", "dd18_containment_pairs",
+    "sm06_temperature_mixing", "ev09_path_trigrams",
+    "ev10_rfm_segments", "ta16_char_collision",
+    "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
 ]
 
 
