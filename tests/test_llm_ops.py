@@ -238,3 +238,81 @@ def test_pagerank_fixed_point_invariants(spark):
     assert sum(r1.values()) <= len(r1) * SCALE
     assert r1[1] == max(r1.values())  # the hub dominates
     assert r1[1] > r1[5]
+
+
+# ---------------------------------------------------------------------------
+# r6 operators: int8 quantization, projection, multi-probe, containment, bloom
+# ---------------------------------------------------------------------------
+
+
+def test_int8_requantize_invariants(spark):
+    """|q| ≤ 127, sign preserved, max-magnitude component hits ±127,
+    zero vector stays all-zero."""
+    rows = [
+        (1, [1000, -500, 250, 0]),
+        (2, [0, 0, 0, 0]),
+        (3, [-3, 3, 1, -1]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "qv"]).select(
+        "id", F.col("qv").cast("array<long>").alias("qv")
+    )
+    out = {
+        r["id"]: r["v8"]
+        for r in df.select("id", S.int8_requantize(F.col("qv")).alias("v8")).collect()
+    }
+    assert out[1] == [127, -64, 32, 0]  # round(500/1000*127)=64, round(250/1000*127)=32
+    assert out[2] == [0, 0, 0, 0]
+    assert out[3] == [-127, 127, 42, -42]  # round(1/3*127) = 42
+    for v in out.values():
+        assert all(-127 <= x <= 127 for x in v)
+
+
+def test_project_signs_exact_projection(spark):
+    signs = [[1, -1, 1, -1], [1, 1, -1, -1]]
+    df = spark.createDataFrame([(1, [10, 20, 30, 40])], ["id", "qv"]).select(
+        "id", F.col("qv").cast("array<long>").alias("qv")
+    )
+    (row,) = df.select(S.project_signs(F.col("qv"), signs).alias("rv")).collect()
+    assert row["rv"] == [10 - 20 + 30 - 40, 10 + 20 - 30 - 40]
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-bucket candidates,
+    so its per-query hit set vs brute force can only grow."""
+    emb = load(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    signs = S.hyperplane_signs(8, 64)
+    exact = {(r["query_id"], r["cand_id"]) for r in S.brute_force_topk(emb, pred, k=3).collect()}
+    single = {(r["query_id"], r["cand_id"]) for r in S.lsh_topk(emb, pred, signs, k=3).collect()}
+    multi = {(r["query_id"], r["cand_id"]) for r in S.lsh_multiprobe_topk(emb, pred, signs, k=3).collect()}
+    assert len(multi & exact) >= len(single & exact)
+
+
+def test_containment_bounds_and_subset_detection(spark):
+    """containment ∈ [jaccard, 1]; a doc fully embedded in a longer doc
+    scores containment 1.0 while its jaccard stays below threshold —
+    the case the asymmetric metric exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "unrelated words entirely different content here")],
+        ["doc_id", "text"],
+    )
+    rows = D.containment_pairs(docs, threshold=0.0).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    r12 = by_pair[(1, 2)]
+    assert r12["containment"] == 1.0  # every 3-gram of the short doc is in the long one
+    assert r12["jaccard"] < 0.5  # but union is dominated by the long doc
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom filter may over-flag but can never miss: per source,
+    exact_hits ≤ bloom_flagged and false_positives is their difference."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dd17_bloom_decontaminate"](spark, SF_DIR)
+    for r in df.collect():
+        assert r["exact_hits"] <= r["bloom_flagged"]
+        assert r["false_positives"] == r["bloom_flagged"] - r["exact_hits"]
