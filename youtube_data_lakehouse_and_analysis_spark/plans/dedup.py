@@ -8,7 +8,7 @@ word_shingles and operators/dedup.py shapes 1:1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -345,3 +345,73 @@ def dd18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than assumed. Verify-stage contract, like dd04: runs on
     shingle-sharing candidates, never as all-pairs discovery."""
     return D.containment_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@query(
+    "dd19_sorted_neighborhood",
+    f"""WITH keyed AS (
+          SELECT doc_id, {_NORM} AS t, substring({_NORM}, 1, 16) AS block
+          FROM documents),
+        ordered AS (
+          SELECT doc_id, t, block,
+                 LEAD(doc_id, 1) OVER w AS n1, LEAD(t, 1) OVER w AS t1,
+                 LEAD(doc_id, 2) OVER w AS n2, LEAD(t, 2) OVER w AS t2
+          FROM keyed
+          WINDOW w AS (PARTITION BY block ORDER BY t, doc_id)),
+        pairs AS (
+          SELECT block, doc_id AS doc_a, n1 AS doc_b,
+                 CASE WHEN t = t1 THEN 1 ELSE 0 END AS exact_dup
+          FROM ordered WHERE n1 IS NOT NULL
+          UNION ALL
+          SELECT block, doc_id, n2, CASE WHEN t = t2 THEN 1 ELSE 0 END
+          FROM ordered WHERE n2 IS NOT NULL)
+        SELECT block, doc_a, doc_b, exact_dup FROM pairs""",
+)
+def dd19_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (the classic
+    entity-resolution blocking alternative to LSH bands and SimHash
+    blocks): documents sort by normalized text inside a 16-char-prefix
+    block, and each doc pairs with its next 2 neighbors in sort order —
+    near-duplicates share prefixes, so they sort adjacently and are
+    caught with a LINEAR number of pairs (≤ (w−1)·N total, vs bucket-
+    width-squared for uncapped LSH). The exact_dup flag marks pairs with
+    identical normalized bodies — the planted-duplicate sanity signal.
+
+    Scale: one shuffle on the block key + an in-block sort; every block
+    sorts independently, so 100 TB partitions by prefix with AQE skew
+    splitting hot prefixes (boilerplate openings). The standard
+    multi-pass variant re-runs with a second key (e.g. reversed text) to
+    catch near-dups whose difference is in the first window — each pass
+    is this same one-shuffle plan. Window-function LEADs keep the pair
+    generation inside codegen; no self-join at all."""
+    from ..functions.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        normalize_text("text").alias("t"),
+        F.substring(normalize_text("text"), 1, 16).alias("block"),
+    )
+    w = Window.partitionBy("block").orderBy("t", "doc_id")
+    ordered = keyed.select(
+        "doc_id",
+        "t",
+        "block",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+        F.lead("t", 2).over(w).alias("t2"),
+    )
+    p1 = ordered.filter(F.col("n1").isNotNull()).select(
+        "block",
+        F.col("doc_id").alias("doc_a"),
+        F.col("n1").alias("doc_b"),
+        F.when(F.col("t") == F.col("t1"), 1).otherwise(0).alias("exact_dup"),
+    )
+    p2 = ordered.filter(F.col("n2").isNotNull()).select(
+        "block",
+        F.col("doc_id").alias("doc_a"),
+        F.col("n2").alias("doc_b"),
+        F.when(F.col("t") == F.col("t2"), 1).otherwise(0).alias("exact_dup"),
+    )
+    return p1.unionByName(p2)
