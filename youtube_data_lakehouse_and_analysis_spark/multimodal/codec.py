@@ -103,3 +103,43 @@ def sample_frames(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
         decoded.filter(F.col("kind") == "video")
         .select("doc_id", F.explode(kept).alias("frame_idx"))
     )
+
+
+def perceptual_hash(media: DataFrame, blocks: int = 16) -> DataFrame:
+    """Block-mean perceptual hash over the raw payload (the dHash/aHash
+    shape, minus the pixel decode the container lacks): the payload
+    splits into `blocks` contiguous byte ranges, and bit j is set when
+    block j's mean exceeds the whole-payload mean. The comparison is the
+    integer cross-multiply block_sum·n > total_sum·block_len — no
+    division, so the hash is bit-identical in the SQL oracle.
+
+    Perceptually-similar payloads (same bytes re-chunked, small local
+    edits) agree on most bits; identical payloads hash identically —
+    which is what makes groupBy(phash) a blocking key for media dedup.
+    A real image pipeline computes the same hash over resized-grayscale
+    pixel blocks behind this exact iterator interface.
+
+    Scale: one Arrow-batched pass, integer state per row; the downstream
+    groupBy shuffles an 8-byte key — dd01's exact-dedup shape applied to
+    media."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = int(b.size)
+                total = int(b.sum())
+                h = 0
+                for j in range(blocks):
+                    lo, hi = (j * n) // blocks, ((j + 1) * n) // blocks
+                    blk_len = hi - lo
+                    if blk_len and int(b[lo:hi].sum()) * n > total * blk_len:
+                        h |= 1 << j
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "phash": hashes}
+            )
+
+    return media.mapInPandas(batches, schema="doc_id bigint, kind string, phash bigint")

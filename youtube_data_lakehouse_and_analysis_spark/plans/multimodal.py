@@ -89,3 +89,51 @@ def mm04_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_frames").alias("total_frames"),
         )
     )
+
+
+@query(
+    "mm05_phash_groups",
+    """WITH base AS (
+         SELECT doc_id, text, length(text) AS n,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+         FROM documents),
+       bytes AS (
+         SELECT doc_id, kind, n,
+                list_transform(range(1, n + 1), i -> unicode(substr(text, i, 1))) AS bs
+         FROM base),
+       sums AS (SELECT doc_id, kind, n, bs, list_sum(bs) AS total FROM bytes),
+       ph AS (
+         SELECT doc_id, kind,
+                list_sum(list_transform(range(0, 16), j ->
+                  CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16
+                        AND list_sum(list_slice(bs, (j * n) // 16 + 1, ((j + 1) * n) // 16)) * n
+                            > total * (((j + 1) * n) // 16 - (j * n) // 16)
+                       THEN 1 << j ELSE 0 END)) AS phash
+         FROM sums)
+       SELECT phash, COUNT(*) AS n_items, COUNT(DISTINCT kind) AS n_kinds,
+              MIN(doc_id) AS canonical_doc_id
+       FROM ph GROUP BY phash""",
+)
+def mm05_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup blocking by block-mean perceptual hash
+    (multimodal/codec.py::perceptual_hash): 16-bit signature per payload,
+    grouped into candidate buckets with a canonical (min-id) member —
+    dd01's exact-dedup shape applied to binary media, and the media-side
+    sibling of the LSH/SimHash blocking families. The byte-level hash is
+    integer-exact (cross-multiplied block-mean comparisons), so the
+    DuckDB oracle reproduces every bit from the text payload's code
+    points.
+
+    Scale: one Arrow-batched decode pass, an 8-byte-key shuffle; at
+    100 TB the Hamming-ball widening (pair buckets within distance d via
+    bit-flip probes) reuses sim10's multi-probe shape."""
+    docs = load(spark, sf_dir, "documents")
+    from ..multimodal.codec import perceptual_hash
+
+    hashed = perceptual_hash(attach_payload(docs))
+    return hashed.groupBy("phash").agg(
+        F.count("*").alias("n_items"),
+        F.count_distinct("kind").alias("n_kinds"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
