@@ -57,11 +57,11 @@ _SAMPLE_PRIORITY = [
     "h05_local_supplier_volume", "h17_small_qty_avg_yearly",
     "h18_large_volume_topk", "pp01_corpus_pipeline",
     "sim07_int8_quantized_topk", "sim08_random_projection_topk",
-    "sim09_ann_recall", "sim10_multiprobe_recall",
-    "dd17_bloom_decontaminate", "dd18_containment_pairs",
+    "sim10_multiprobe_recall", "dd17_bloom_decontaminate",
+    "dd18_containment_pairs", "dd19_sorted_neighborhood",
     "sm06_temperature_mixing", "ev09_path_trigrams",
     "ev10_rfm_segments", "ta16_char_collision",
-    "dd08_canonical_corpus", "dd12_lsh_capped_pairs",
+    "mm05_phash_groups", "dd12_lsh_capped_pairs",
 ]
 
 
