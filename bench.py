@@ -58,6 +58,25 @@ HEADLINE = [
     "mm02_decode_features",
 ]
 
+# Extended set (r6): one per round-6 addition family. NOT part of the
+# headline metric (which stays frozen for round-over-round comparability);
+# timed at median-of-3 after one warm-up and reported under the
+# "extended" JSON key so the new operators' cost profile is visible in
+# BENCH_r{N}.json without moving the headline.
+EXTENDED = [
+    "sim07_int8_quantized_topk",
+    "sim10_multiprobe_recall",
+    "dd17_bloom_decontaminate",
+    "dd18_containment_pairs",
+    "dd19_sorted_neighborhood",
+    "sm06_temperature_mixing",
+    "ev09_path_trigrams",
+    "ev10_rfm_segments",
+    "ta16_char_collision",
+    "mm05_phash_groups",
+    "h01_pricing_summary_full",
+]
+
 
 def run_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -99,6 +118,13 @@ def main() -> None:
         warmup[name] = round(run_query(spark, fn, SF_DIR), 4)  # JIT, footer cache
         samples[name] = [round(run_query(spark, fn, SF_DIR), 4) for _ in range(5)]
         timings[name] = round(statistics.median(samples[name]), 4)
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = queries[name]
+        run_query(spark, fn, SF_DIR)  # one warm-up
+        extended[name] = round(
+            statistics.median(run_query(spark, fn, SF_DIR) for _ in range(3)), 4
+        )
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -111,6 +137,7 @@ def main() -> None:
                 "samples": samples,
                 "warmup": warmup,
                 "prebuild": prebuild,
+                "extended": extended,
             }
         )
     )

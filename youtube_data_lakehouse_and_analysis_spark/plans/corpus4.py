@@ -72,10 +72,10 @@ _DD17_SQL = f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM doc
                    WHERE ngram IN (SELECT ngram FROM bench))
     SELECT d.source,
            COUNT(*) AS n_train,
-           SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bloom_flagged,
-           SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS exact_hits,
-           SUM(CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NULL
-                    THEN 1 ELSE 0 END) AS false_positives
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bloom_flagged,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
     FROM documents d
     LEFT JOIN bloom_docs b ON d.doc_id = b.doc_id
     LEFT JOIN exact_docs e ON d.doc_id = e.doc_id
@@ -87,7 +87,7 @@ _DD17_SQL = f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM doc
 def dd17_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination, reported per source against
     the exact answer: the eval split's (doc_id % 29 == 0) distinct word
-    5-grams are hashed into an m=4096-bit / k=3 Bloom signature; a
+    5-grams are hashed into an m=65536-bit / k=5 Bloom signature; a
     training document is bloom-flagged when ANY of its 5-grams has all k
     bit positions set. exact_hits re-runs dd10's exact membership join on
     the same grams, so false_positives = bloom_flagged − exact_hits is
@@ -155,7 +155,7 @@ _MIX_T = 200  # total documents the mixture targets
 
 _SM06_SQL = f"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
     s AS (SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS sw FROM n),
-    d AS (SELECT SUM(sw) AS denom FROM s),
+    d AS (SELECT CAST(SUM(sw) AS BIGINT) AS denom FROM s),
     t AS (SELECT lang, n_docs, sw, denom,
                  CAST(sw AS DOUBLE) / denom AS temp_weight,
                  ({_MIX_T} * sw) // denom AS target_n
@@ -166,7 +166,7 @@ _SM06_SQL = f"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP 
                    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                                  AS BIGINT), doc_id) AS rn
           FROM documents),
-    k AS (SELECT r.lang, COUNT(*) AS sampled_n, SUM(doc_id) AS sample_id_sum
+    k AS (SELECT r.lang, COUNT(*) AS sampled_n, CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum
           FROM r JOIN t ON r.lang = t.lang
           WHERE rn <= target_n GROUP BY r.lang)
     SELECT t.lang, t.n_docs, t.temp_weight, t.target_n,

@@ -105,11 +105,11 @@ def mm04_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
        sums AS (SELECT doc_id, kind, n, bs, list_sum(bs) AS total FROM bytes),
        ph AS (
          SELECT doc_id, kind,
-                list_sum(list_transform(range(0, 16), j ->
+                CAST(list_sum(list_transform(range(0, 16), j ->
                   CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16
                         AND list_sum(list_slice(bs, (j * n) // 16 + 1, ((j + 1) * n) // 16)) * n
                             > total * (((j + 1) * n) // 16 - (j * n) // 16)
-                       THEN 1 << j ELSE 0 END)) AS phash
+                       THEN 1 << j ELSE 0 END)) AS BIGINT) AS phash
          FROM sums)
        SELECT phash, COUNT(*) AS n_items, COUNT(DISTINCT kind) AS n_kinds,
               MIN(doc_id) AS canonical_doc_id

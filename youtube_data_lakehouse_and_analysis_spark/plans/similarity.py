@@ -537,10 +537,10 @@ def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM (SELECT DISTINCT query_id FROM exact) qq
                   LEFT JOIN hits h ON qq.query_id = h.query_id)
         SELECT COUNT(*) AS n_queries,
-               SUM(n_hit) AS n_hits,
+               CAST(SUM(n_hit) AS BIGINT) AS n_hits,
                3 * COUNT(*) AS n_possible,
                CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS recall_at_3,
-               SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS n_perfect_queries
+               CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect_queries
         FROM per_q""",
 )
 def sim09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,10 +633,10 @@ _PROBE_LIST_SQL = "[bucket" + "".join(
                   FROM (SELECT DISTINCT query_id FROM exact) qq
                   LEFT JOIN hits h ON qq.query_id = h.query_id)
         SELECT COUNT(*) AS n_queries,
-               SUM(n_hit) AS n_hits,
+               CAST(SUM(n_hit) AS BIGINT) AS n_hits,
                3 * COUNT(*) AS n_possible,
                CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS recall_at_3,
-               SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS n_perfect_queries
+               CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect_queries
         FROM per_q""",
 )
 def sim10_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -217,7 +217,8 @@ _LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 def _ta16_sql() -> str:
     cnts = ",\n                ".join(
-        f"SUM(length(t) - length(replace(t, '{ch}', ''))) AS c_{ch}" for ch in _LETTERS
+        f"CAST(SUM(length(t) - length(replace(t, '{ch}', ''))) AS BIGINT) AS c_{ch}"
+        for ch in _LETTERS
     )
     total = " + ".join(f"c_{ch}" for ch in _LETTERS)
     nz = " + ".join(f"(CASE WHEN c_{ch} > 0 THEN 1 ELSE 0 END)" for ch in _LETTERS)
