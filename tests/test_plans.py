@@ -552,3 +552,28 @@ def test_ta16_map_side_only(spark):
     assert plan.count("Exchange") == 1
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dd19_no_self_join_single_exchange(spark):
+    """dd19: sorted-neighborhood pairs come from window LEADs — one
+    block-key exchange feeds both pair branches, and there is no join."""
+    plan = plan_of(spark, "dd19_sorted_neighborhood")
+    assert "Join" not in plan
+    assert plan.count("Window") <= 2  # one per union branch at most (shared shuffle)
+
+
+def test_mm05_single_key_shuffle_after_decode(spark):
+    """mm05: one Arrow-batched pass then an 8-byte phash key aggregate —
+    no join, no extra exchange beyond the groupBy (+AQE artifacts)."""
+    plan = plan_of(spark, "mm05_phash_groups")
+    assert "Join" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_sim10_multiprobe_broadcast_bucket_join(spark):
+    """sim10: the probe fan-out explodes the QUERY side only, the bucket
+    join is broadcast-hash, and nothing degrades to sort-merge or a
+    nested loop on the approx side."""
+    plan = plan_of(spark, "sim10_multiprobe_recall")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bucket join + overlap semi-join

@@ -570,7 +570,7 @@ def sim09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
     approx = S.lsh_topk(emb, pred, _SIGNS, k=3).select("query_id", "cand_id")
     hits = (
-        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
@@ -658,7 +658,7 @@ def sim10_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
     approx = S.lsh_multiprobe_topk(emb, pred, _SIGNS, k=3).select("query_id", "cand_id")
     hits = (
-        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
