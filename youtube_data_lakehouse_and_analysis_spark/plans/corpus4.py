@@ -227,3 +227,90 @@ def sm06_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sample_id_sum"), F.lit(0)).alias("sample_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fe03 — linear quality-classifier inference (the fastText-filter shape)
+# ---------------------------------------------------------------------------
+
+_FE3_BUCKETS = 64
+
+
+_FE03_SQL = f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT)
+               % {_FE3_BUCKETS} AS bucket,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, bucket),
+    weighted AS (
+      SELECT doc_id,
+             CAST(SUM(cnt * ((CAST(('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 2001) - 1000)) AS BIGINT) AS score
+      FROM feat GROUP BY doc_id),
+    scored AS (
+      SELECT d.source, w.score FROM documents d JOIN weighted w ON d.doc_id = w.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY source"""
+
+
+@query("fe03_quality_classifier", _FE03_SQL)
+def fe03_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over hashed features — the
+    fastText-style filter every web-scale corpus passes through (CCNet /
+    GPT-3 quality filtering): score = Σ count_b · w_b over fe01's 64
+    hashing-trick buckets, keep iff score > 0. The weight vector here is
+    a deterministic md5-derived stand-in for trained weights (values in
+    [-1000, 1000]); in production the same expression consumes a
+    broadcast weight table from the trainer. The decision is a pure
+    integer threshold — no sigmoid, because σ is monotone so
+    σ(score) > ½ ⟺ score > 0 — which keeps the keep/drop bit and both
+    engines' reports exact.
+
+    Scale: explode → (doc, bucket) partial-agg → per-doc weighted sum →
+    per-source rollup: two combine-friendly shuffles, weight lookup
+    computed inline (zero join; with trained weights: one broadcast of
+    |buckets| rows). Inference cost is independent of vocabulary —
+    hashing-trick classifiers have no dictionary to ship."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % _FE3_BUCKETS
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    feat = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weighted = feat.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * weight).alias("score")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(weighted, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_keep"),
+            (
+                F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("keep_rate"),
+            F.sum("score").alias("sum_score"),
+        )
+    )
