@@ -61,3 +61,36 @@ def test_reference_workload_sql_twins(spark):
         df_form = QUERIES[name](spark, SF_DIR)
         sql_form = spark.sql(ORACLE[name])
         assert canon(df_form) == canon(sql_form), name
+
+
+def test_sql_pipe_syntax_parity(spark):
+    """Spark 4 SQL pipe syntax (|>) is part of the engine's SQL surface:
+    the piped form of the q09 aggregation must equal the DataFrame form
+    exactly (same engine, so plain value equality)."""
+    from youtube_data_lakehouse_and_analysis_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    piped = spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity IS NOT NULL
+        |> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_qty
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.table("lineitem").filter(F.col("l_quantity").isNotNull())
+    expect = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) / F.count("*"))
+            .cast("double")
+            .alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+    assert [tuple(r) for r in piped.collect()] == [tuple(r) for r in expect.collect()]
