@@ -517,3 +517,53 @@ def ev10_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
     )
+
+
+@query(
+    "ev11_activity_streaks",
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       numbered AS (
+         SELECT user_id, day,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         FROM days),
+       islands AS (
+         SELECT user_id, day - rn * INTERVAL 1 DAY AS grp, COUNT(*) AS streak_len
+         FROM numbered GROUP BY user_id, day - rn * INTERVAL 1 DAY),
+       per_user AS (
+         SELECT user_id, MAX(streak_len) AS longest_streak,
+                CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+                COUNT(*) AS n_streaks
+         FROM islands GROUP BY user_id)
+       SELECT user_id, longest_streak, n_active_days, n_streaks
+       FROM per_user
+       ORDER BY longest_streak DESC, user_id LIMIT 20""",
+)
+def ev11_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands rewrite: distinct active days, a per-user row
+    number, and (day − rn) as the island key (consecutive days share
+    it). Complements ses01's TIME-gap sessionization with the
+    CALENDAR-grain variant retention teams actually track. Top-20 under
+    a (streak DESC, user_id) total order.
+
+    Scale: distinct day collapse first (combine-friendly, shrinks events
+    to user-days), then ONE user-keyed window shuffle; islands aggregate
+    by (user, grp) with bounded state and the top-20 is
+    TakeOrderedAndProject. Calendar math is integer date arithmetic —
+    identical on both engines."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn("rn", F.row_number().over(w))
+    islands = (
+        numbered.withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
+    return per_user.orderBy(F.desc("longest_streak"), F.asc("user_id")).limit(20)
