@@ -314,3 +314,99 @@ def fe03_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").alias("sum_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sm07 — quality-weighted sampling (CCNet-style bucket keep rates)
+# ---------------------------------------------------------------------------
+
+
+_SM07_SQL = f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT)
+               % {_FE3_BUCKETS} AS bucket,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, bucket),
+    weighted AS (
+      SELECT doc_id,
+             CAST(SUM(cnt * ((CAST(('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 2001) - 1000)) AS BIGINT) AS score
+      FROM feat GROUP BY doc_id),
+    q AS (
+      SELECT doc_id, score,
+             NTILE(4) OVER (ORDER BY score, doc_id) AS quartile,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS hv
+      FROM weighted)
+    SELECT quartile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hv < (CASE quartile WHEN 1 THEN 1 WHEN 2 THEN 2
+                                                  WHEN 3 THEN 4 ELSE 8 END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN hv < (CASE quartile WHEN 1 THEN 1 WHEN 2 THEN 2
+                                                  WHEN 3 THEN 4 ELSE 8 END)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_rate,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM q GROUP BY quartile"""
+
+
+@query("sm07_quality_weighted_sampling", _SM07_SQL)
+def sm07_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (the CCNet recipe): documents are
+    bucketed into quartiles of fe03's classifier score, and each quartile
+    keeps a different deterministic fraction — 1/8 of the worst quartile
+    up to all of the best (hash-threshold keep, so the decision is
+    reproducible across runs, engines, and partitionings). This is the
+    step between quality SCORING (fe03) and the final mixture (sm04/
+    sm06): don't discard low-quality text outright, down-sample it.
+
+    Scale: scoring is fe03's two combine-friendly shuffles; the global
+    NTILE runs on the per-doc score table (one row per doc) — at true
+    scale it becomes 3 approx-quantile cut points broadcast into a
+    map-side CASE (same contract, no global sort), and the keep decision
+    is already map-side."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % _FE3_BUCKETS
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    weighted = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * weight).alias("score"))
+    )
+    hv = md5_prefix_long(F.col("doc_id").cast("string")) % 8
+    q = weighted.select(
+        "doc_id",
+        "score",
+        F.ntile(4).over(Window.orderBy("score", "doc_id")).alias("quartile"),
+        hv.alias("hv"),
+    )
+    slots = (
+        F.when(F.col("quartile") == 1, 1)
+        .when(F.col("quartile") == 2, 2)
+        .when(F.col("quartile") == 3, 4)
+        .otherwise(8)
+    )
+    kept = F.when(F.col("hv") < slots, 1).otherwise(0)
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        (F.sum(kept).cast("double") / F.count("*")).alias("kept_rate"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

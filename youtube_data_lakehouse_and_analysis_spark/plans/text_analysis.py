@@ -312,3 +312,52 @@ def ta16_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("collision"),
     )
+
+
+@query(
+    "ta17_langid_confusion",
+    f"""WITH scores AS (
+          SELECT doc_id, lang AS lang_declared,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["en"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS en_score,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["es"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS es_score,
+                 CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(_PROFILES["de"])}, x))) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS de_score
+          FROM documents),
+        pred AS (
+          SELECT lang_declared,
+                 CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+                      WHEN es_score >= de_score THEN 'es'
+                      ELSE 'de' END AS lang_pred
+          FROM scores)
+        SELECT lang_declared, lang_pred, COUNT(*) AS n_docs
+        FROM pred GROUP BY lang_declared, lang_pred""",
+)
+def ta17_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup for the language-ID heuristic: the
+    (declared, predicted) confusion matrix over the whole corpus — the
+    eval table behind precision/recall per language, and the companion
+    of sim09/sim10's recall evals: every heuristic component in a
+    curation pipeline ships with a measured confusion against labels,
+    not an assumed one. (The 3-profile stopword heuristic cannot predict
+    fr/zh — those rows land in the en/es/de columns and the matrix shows
+    exactly that blind spot.)
+
+    Scale: scoring is map-side higher-order-function work inside the
+    scan; the rollup is a ≤|langs|² group count with map-side combine —
+    observability at scan speed."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.greatest(F.size(t), F.lit(1))
+
+    def score(lang: str):
+        return F.size(F.filter(t, lambda x: x.isin(*_PROFILES[lang]))).cast("double") / n
+
+    en, es, de = score("en"), score("es"), score("de")
+    pred = F.when((en >= es) & (en >= de), "en").when(es >= de, "es").otherwise("de")
+    return (
+        d.select(F.col("lang").alias("lang_declared"), pred.alias("lang_pred"))
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
