@@ -27,15 +27,13 @@ def main() -> None:
     full = "--full" in sys.argv
     run_all = "--all" in sys.argv
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entrymod
+    from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    # the same tuned session the bench and the plan-gate tests run under —
+    # a snapshot from a hand-rolled config could show plan shapes the
+    # gated session never produces
+    spark = get_spark("plan-snapshot")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     names = list(queries) if run_all else args

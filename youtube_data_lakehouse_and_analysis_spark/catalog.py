@@ -118,8 +118,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # only that failure earns the legacy-conf retry.  Anything else
             # (missing file, permissions) propagates with its real error
             # instead of a masked second failure + polluted session conf.
-            msg = str(exc)
-            if "nano" not in msg.lower() and "TIMESTAMP(NANOS" not in msg:
+            if "nano" not in str(exc).lower():
                 raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = spark.read.parquet(src)

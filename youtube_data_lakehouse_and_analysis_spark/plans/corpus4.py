@@ -235,8 +235,11 @@ def sm06_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FE3_BUCKETS = 64
 
-
-_FE03_SQL = f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+# Shared CTE chain: hashed bag-of-words (fe01's recipe) -> md5-derived
+# weight per bucket -> per-doc integer score.  fe03 thresholds it; sm07
+# buckets it into keep-rate quartiles.  ONE definition so the two
+# queries can never fork.
+_SCORE_CTES = f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                  FROM documents),
     feat AS (
       SELECT doc_id,
@@ -248,7 +251,36 @@ _FE03_SQL = f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
       SELECT doc_id,
              CAST(SUM(cnt * ((CAST(('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 8))
                                AS BIGINT) % 2001) - 1000)) AS BIGINT) AS score
-      FROM feat GROUP BY doc_id),
+      FROM feat GROUP BY doc_id)"""
+
+
+def _quality_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of _SCORE_CTES: (doc_id, score) with score an exact
+    integer — the single definition both fe03 and sm07 build on."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % _FE3_BUCKETS
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * weight).alias("score"))
+    )
+
+
+_FE03_SQL = f"""WITH {_SCORE_CTES},
     scored AS (
       SELECT d.source, w.score FROM documents d JOIN weighted w ON d.doc_id = w.doc_id)
     SELECT source,
@@ -278,28 +310,7 @@ def fe03_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     |buckets| rows). Inference cost is independent of vocabulary —
     hashing-trick classifiers have no dictionary to ship."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
-        % _FE3_BUCKETS
-    )
-    weight = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 2001
-        - 1000
-    )
-    feat = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .select("doc_id", bucket.alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-    weighted = feat.groupBy("doc_id").agg(
-        F.sum(F.col("cnt") * weight).alias("score")
-    )
+    weighted = _quality_scores(docs)
     return (
         docs.select("doc_id", "source")
         .join(weighted, "doc_id")
@@ -321,19 +332,7 @@ def fe03_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_SM07_SQL = f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents),
-    feat AS (
-      SELECT doc_id,
-             CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT)
-               % {_FE3_BUCKETS} AS bucket,
-             COUNT(*) AS cnt
-      FROM tok GROUP BY doc_id, bucket),
-    weighted AS (
-      SELECT doc_id,
-             CAST(SUM(cnt * ((CAST(('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 8))
-                               AS BIGINT) % 2001) - 1000)) AS BIGINT) AS score
-      FROM feat GROUP BY doc_id),
+_SM07_SQL = f"""WITH {_SCORE_CTES},
     q AS (
       SELECT doc_id, score,
              NTILE(4) OVER (ORDER BY score, doc_id) AS quartile,
@@ -368,27 +367,7 @@ def sm07_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFram
     map-side CASE (same contract, no global sort), and the keep decision
     is already map-side."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
-        % _FE3_BUCKETS
-    )
-    weight = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 2001
-        - 1000
-    )
-    weighted = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .select("doc_id", bucket.alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * weight).alias("score"))
-    )
+    weighted = _quality_scores(docs)
     hv = md5_prefix_long(F.col("doc_id").cast("string")) % 8
     q = weighted.select(
         "doc_id",

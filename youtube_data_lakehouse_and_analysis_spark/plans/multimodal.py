@@ -94,13 +94,15 @@ def mm04_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm05_phash_groups",
     """WITH base AS (
-         SELECT doc_id, text, length(text) AS n,
+         SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS n,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind
          FROM documents),
        bytes AS (
          SELECT doc_id, kind, n,
-                list_transform(range(1, n + 1), i -> unicode(substr(text, i, 1))) AS bs
+                list_transform(range(1, n + 1),
+                               i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT)) AS bs
          FROM base),
        sums AS (SELECT doc_id, kind, n, bs, list_sum(bs) AS total FROM bytes),
        ph AS (
@@ -121,9 +123,10 @@ def mm05_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped into candidate buckets with a canonical (min-id) member —
     dd01's exact-dedup shape applied to binary media, and the media-side
     sibling of the LSH/SimHash blocking families. The byte-level hash is
-    integer-exact (cross-multiplied block-mean comparisons), so the
-    DuckDB oracle reproduces every bit from the text payload's code
-    points.
+    integer-exact (cross-multiplied block-mean comparisons), and the
+    DuckDB oracle works on hex(encode(text)) — the PAYLOAD BYTES, not
+    character code points — so parity survives a non-ASCII testdata
+    vintage (the mm01/mm02 octet_length convention).
 
     Scale: one Arrow-batched decode pass, an 8-byte-key shuffle; at
     100 TB the Hamming-ball widening (pair buckets within distance d via

@@ -340,15 +340,16 @@ withnorm8 AS (
 )"""
 
 
-@query(
-    "sim07_int8_quantized_topk",
-    f"""WITH {_INT8_SQL},
-        q AS (SELECT vec_id AS query_id, v8 AS q_vec, nsq AS q_nsq
-              FROM withnorm8 WHERE vec_id % 40 = 0),
-        c AS (SELECT vec_id AS cand_id, v8 AS c_vec, nsq AS c_nsq FROM withnorm8),
+def _sql_crossjoin_topk(prep_ctes: str, table: str, vec: str, mod: int, k: int, dims: int) -> str:
+    """Exact cosine top-k over a prepared (vec_id, <vec>, nsq) CTE —
+    the shared scaffold of sim07/sim08 (and structurally of sim01)."""
+    return f"""WITH {prep_ctes},
+        q AS (SELECT vec_id AS query_id, {vec} AS q_vec, nsq AS q_nsq
+              FROM {table} WHERE vec_id % {mod} = 0),
+        c AS (SELECT vec_id AS cand_id, {vec} AS c_vec, nsq AS c_nsq FROM {table}),
         scored AS (
           SELECT query_id, cand_id,
-                 CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                 CAST(list_sum(list_transform(range(1, {dims + 1}), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
                  / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
           FROM q CROSS JOIN c WHERE query_id <> cand_id
         )
@@ -356,7 +357,44 @@ withnorm8 AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, cand_id) AS rn
           FROM scored) t
-        WHERE rn <= 5""",
+        WHERE rn <= {k}"""
+
+
+def _crossjoin_topk(prepared: DataFrame, vec: str, mod: int, k: int) -> DataFrame:
+    """Spark twin of _sql_crossjoin_topk: prepared carries
+    (vec_id, <vec> array<long>, nsq); queries are vec_id % mod == 0,
+    broadcast into the candidate crossJoin, exact top-k per query."""
+    q = prepared.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec).alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = prepared.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(vec).alias("c_vec"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            S.cosine_from_ints(
+                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+@query(
+    "sim07_int8_quantized_topk",
+    _sql_crossjoin_topk(_INT8_SQL, table="withnorm8", vec="v8", mod=40, k=5, dims=64),
 )
 def sim07_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine search over int8 scalar-quantized vectors (FAISS-SQ8
@@ -376,32 +414,7 @@ def sim07_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q8 = base.select(
         "vec_id", S.int8_requantize(F.col("qv")).alias("v8")
     ).withColumn("nsq", S.int_norm_sq(F.col("v8")))
-    q = q8.filter(F.col("vec_id") % 40 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v8").alias("q_vec"),
-        F.col("nsq").alias("q_nsq"),
-    )
-    c = q8.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("v8").alias("c_vec"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn(
-            "cosine",
-            S.cosine_from_ints(
-                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "cand_id", "cosine")
-    )
+    return _crossjoin_topk(q8, vec="v8", mod=40, k=5)
 
 
 _RP_PLANES = 16
@@ -420,35 +433,24 @@ def _sql_projection_list() -> str:
     return "[" + ", ".join(terms) + "]"
 
 
+_RP_SQL = f"""base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+red AS (
+  SELECT vec_id, {_sql_projection_list()} AS rv FROM base
+),
+rednorm AS (
+  SELECT vec_id, rv,
+         list_sum(list_transform(range(1, {_RP_PLANES + 1}), i -> rv[i] * rv[i])) AS nsq
+  FROM red
+)"""
+
+
 @query(
     "sim08_random_projection_topk",
-    f"""WITH base AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-          FROM embeddings
-        ),
-        red AS (
-          SELECT vec_id, {_sql_projection_list()} AS rv FROM base
-        ),
-        withnorm AS (
-          SELECT vec_id, rv,
-                 list_sum(list_transform(range(1, {_RP_PLANES + 1}), i -> rv[i] * rv[i])) AS nsq
-          FROM red
-        ),
-        q AS (SELECT vec_id AS query_id, rv AS q_vec, nsq AS q_nsq
-              FROM withnorm WHERE vec_id % 45 = 0),
-        c AS (SELECT vec_id AS cand_id, rv AS c_vec, nsq AS c_nsq FROM withnorm),
-        scored AS (
-          SELECT query_id, cand_id,
-                 CAST(list_sum(list_transform(range(1, {_RP_PLANES + 1}), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
-                 / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
-          FROM q CROSS JOIN c WHERE query_id <> cand_id
-        )
-        SELECT query_id, cand_id, cosine FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, cand_id) AS rn
-          FROM scored) t
-        WHERE rn <= 5""",
+    _sql_crossjoin_topk(_RP_SQL, table="rednorm", vec="rv", mod=45, k=5, dims=_RP_PLANES),
 )
 def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine search in a 16-dim random projection of the 64-dim
@@ -468,43 +470,14 @@ def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = base.select(
         "vec_id", S.project_signs(F.col("qv"), _SIGNS16).alias("rv")
     ).withColumn("nsq", S.int_norm_sq(F.col("rv")))
-    q = red.filter(F.col("vec_id") % 45 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("rv").alias("q_vec"),
-        F.col("nsq").alias("q_nsq"),
-    )
-    c = red.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("rv").alias("c_vec"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn(
-            "cosine",
-            S.cosine_from_ints(
-                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "cand_id", "cosine")
-    )
+    return _crossjoin_topk(red, vec="rv", mod=45, k=5)
 
 
 # ---------------------------------------------------------------------------
-# sim09 — ANN quality evaluation: recall@k of the LSH path vs exact
+# sim09/sim10 — ANN quality evaluation: recall@k vs the exact baseline
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "sim09_ann_recall",
-    f"""WITH {_QUANT},
-        q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
+_EXACT_TOP3_CTES = f"""q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
               FROM withnorm WHERE vec_id % 50 = 0),
         c AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq FROM withnorm),
         exact AS (
@@ -515,21 +488,9 @@ def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
                      cand_id) AS rn
             FROM q CROSS JOIN c WHERE query_id <> cand_id) t
-          WHERE rn <= 3),
-        bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
-        bq AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq, bucket
-               FROM bucketed WHERE vec_id % 50 = 0),
-        bc AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq, bucket FROM bucketed),
-        approx AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                     CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
-                     / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
-                     cand_id) AS rn
-            FROM bq JOIN bc USING (bucket) WHERE query_id <> cand_id) t
-          WHERE rn <= 3),
-        hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+          WHERE rn <= 3)"""
+
+_RECALL_ROLLUP_SQL = """hits AS (SELECT e.query_id, COUNT(*) AS n_hit
                  FROM exact e JOIN approx a
                    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
                  GROUP BY e.query_id),
@@ -541,8 +502,63 @@ def sim08_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                3 * COUNT(*) AS n_possible,
                CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS recall_at_3,
                CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect_queries
-        FROM per_q""",
-)
+        FROM per_q"""
+
+
+def _sql_recall_eval(approx_ctes: str) -> str:
+    """Full recall@3 oracle: the exact baseline, the caller's approx CTE
+    chain (must define `approx(query_id, cand_id)`), and the shared
+    per-query hit rollup — ONE definition of the eval arithmetic for
+    sim09 and sim10."""
+    return f"""WITH {_QUANT},
+        {_EXACT_TOP3_CTES},
+        {approx_ctes},
+        {_RECALL_ROLLUP_SQL}"""
+
+
+def _recall_eval(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Spark twin of _sql_recall_eval: exact top-3 via the brute-force
+    baseline, approx top-3 from approx_fn(emb, pred), shared rollup."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
+    approx = approx_fn(emb, pred).select("query_id", "cand_id")
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("n_hits"),
+        (F.lit(3) * F.count("*")).alias("n_possible"),
+        (F.sum("n_hit").cast("double") / (F.lit(3) * F.count("*"))).alias("recall_at_3"),
+        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0)).alias("n_perfect_queries"),
+    )
+
+
+_SINGLE_PROBE_APPROX = f"""bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
+        bq AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq, bucket
+               FROM bucketed WHERE vec_id % 50 = 0),
+        bc AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq, bucket FROM bucketed),
+        approx AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
+                     / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
+                     cand_id) AS rn
+            FROM bq JOIN bc USING (bucket) WHERE query_id <> cand_id) t
+          WHERE rn <= 3)"""
+
+
+@query("sim09_ann_recall", _sql_recall_eval(_SINGLE_PROBE_APPROX))
 def sim09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@3 of the hyperplane-LSH path (sim02)
     against the exact brute-force baseline (sim01) over the same query
@@ -565,27 +581,8 @@ def sim09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus×corpus; the approx side is the production bucket join.
     The overlap join and per-query rollup are k-row-per-query
     trivia."""
-    emb = load(spark, sf_dir, "embeddings")
-    pred = F.col("vec_id") % 50 == 0
-    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
-    approx = S.lsh_topk(emb, pred, _SIGNS, k=3).select("query_id", "cand_id")
-    hits = (
-        exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    per_q = (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.sum("n_hit").alias("n_hits"),
-        (F.lit(3) * F.count("*")).alias("n_possible"),
-        (F.sum("n_hit").cast("double") / (F.lit(3) * F.count("*"))).alias("recall_at_3"),
-        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0)).alias("n_perfect_queries"),
+    return _recall_eval(
+        spark, sf_dir, lambda emb, pred: S.lsh_topk(emb, pred, _SIGNS, k=3)
     )
 
 
@@ -593,23 +590,7 @@ _PROBE_LIST_SQL = "[bucket" + "".join(
     f", xor(bucket, {1 << p})" for p in range(_PLANES)
 ) + "]"
 
-
-@query(
-    "sim10_multiprobe_recall",
-    f"""WITH {_QUANT},
-        q AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq
-              FROM withnorm WHERE vec_id % 50 = 0),
-        c AS (SELECT vec_id AS cand_id, qv AS c_vec, nsq AS c_nsq FROM withnorm),
-        exact AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                     CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS DOUBLE)
-                     / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
-                     cand_id) AS rn
-            FROM q CROSS JOIN c WHERE query_id <> cand_id) t
-          WHERE rn <= 3),
-        bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
+_MULTI_PROBE_APPROX = f"""bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
         bq AS (SELECT vec_id AS query_id, qv AS q_vec, nsq AS q_nsq, bucket
                FROM bucketed WHERE vec_id % 50 = 0),
         probes AS (SELECT query_id, q_vec, q_nsq,
@@ -624,27 +605,18 @@ _PROBE_LIST_SQL = "[bucket" + "".join(
                      cand_id) AS rn
             FROM probes JOIN bc ON probe_bucket = bc.bucket
             WHERE query_id <> cand_id) t
-          WHERE rn <= 3),
-        hits AS (SELECT e.query_id, COUNT(*) AS n_hit
-                 FROM exact e JOIN approx a
-                   ON e.query_id = a.query_id AND e.cand_id = a.cand_id
-                 GROUP BY e.query_id),
-        per_q AS (SELECT qq.query_id, COALESCE(h.n_hit, 0) AS n_hit
-                  FROM (SELECT DISTINCT query_id FROM exact) qq
-                  LEFT JOIN hits h ON qq.query_id = h.query_id)
-        SELECT COUNT(*) AS n_queries,
-               CAST(SUM(n_hit) AS BIGINT) AS n_hits,
-               3 * COUNT(*) AS n_possible,
-               CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS recall_at_3,
-               CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect_queries
-        FROM per_q""",
-)
+          WHERE rn <= 3)"""
+
+
+@query("sim10_multiprobe_recall", _sql_recall_eval(_MULTI_PROBE_APPROX))
 def sim10_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim09's recall@3 evaluation re-run with MULTI-PROBE LSH
     (operators/similarity.py::lsh_multiprobe_topk): each query probes its
     own bucket plus the 8 buckets one sign-flip away, growing candidates
     9× (from |C|/256 to 9·|C|/256) in exchange for recall. Output columns
-    match sim09 exactly so the two rows read as a before/after.
+    match sim09 exactly so the two rows read as a before/after — both
+    share _recall_eval / _sql_recall_eval, so the eval arithmetic cannot
+    fork between them.
 
     Scale: the probe fan-out explodes only the QUERY side (the small
     side); the join stays a bucket equi-join; candidate cost is
@@ -653,25 +625,6 @@ def sim10_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.03 — a 3× lift for 9× candidates, the expected shape on isotropic
     synthetic embeddings (clusterable real corpora lift far more per
     probe)."""
-    emb = load(spark, sf_dir, "embeddings")
-    pred = F.col("vec_id") % 50 == 0
-    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
-    approx = S.lsh_multiprobe_topk(emb, pred, _SIGNS, k=3).select("query_id", "cand_id")
-    hits = (
-        exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    per_q = (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.sum("n_hit").alias("n_hits"),
-        (F.lit(3) * F.count("*")).alias("n_possible"),
-        (F.sum("n_hit").cast("double") / (F.lit(3) * F.count("*"))).alias("recall_at_3"),
-        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0)).alias("n_perfect_queries"),
+    return _recall_eval(
+        spark, sf_dir, lambda emb, pred: S.lsh_multiprobe_topk(emb, pred, _SIGNS, k=3)
     )
