@@ -360,3 +360,80 @@ def ia02_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.sum("cnt").alias("n_items"), F.sum("psum").cast("double").alias("revenue"))
     )
+
+
+@query(
+    "scd02_point_in_time",
+    """WITH dim AS (
+         SELECT user_id, event_id AS version_id, value AS attr_value,
+                ts AS valid_from,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM events WHERE event_type = 'signup'),
+       p AS (
+         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                value AS amount
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+              d.version_id, d.attr_value,
+              CASE WHEN d.version_id IS NULL THEN FALSE
+                   ELSE d.valid_to IS NULL END AS version_is_current
+       FROM p LEFT JOIN dim d
+         ON p.user_id = d.user_id
+        AND p.purchase_ts >= d.valid_from
+        AND (d.valid_to IS NULL OR p.purchase_ts < d.valid_to)""",
+)
+def scd02_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-version) join against the SCD2 dimension:
+    every purchase fact picks up the dimension version that was valid AT
+    ITS TIMESTAMP — the lookup every feature store and financial report
+    runs against scd01's intervals, and the reason SCD2 keeps intervals
+    at all. Intervals partition time per user ([ts, next ts), built with
+    the same (ts, event_id) total order as scd01), so each fact matches
+    at most one version and the LEFT JOIN is row-preserving —
+    pre-first-version purchases surface with a NULL version instead of
+    vanishing.
+
+    Scale: an equi-join on user_id with the interval bounds as join-level
+    FILTERS — Catalyst keeps the hash/sort-merge strategy of the equi key
+    (never a nested loop over time ranges); the dimension side holds only
+    'signup' versions (small fraction of events) and broadcast-upgrades
+    under AQE when it fits. The window building the intervals is scd01's
+    one user-keyed shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "version_id")
+        ))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = p.join(
+        dim,
+        on=(p["user_id"] == dim["user_id"])
+        & (p["purchase_ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (p["purchase_ts"] < dim["valid_to"])),
+        how="left",
+    )
+    return joined.select(
+        p["user_id"],
+        "purchase_id",
+        "purchase_ts",
+        "amount",
+        "version_id",
+        "attr_value",
+        F.when(F.col("version_id").isNull(), F.lit(False))
+        .otherwise(F.col("valid_to").isNull())
+        .alias("version_is_current"),
+    )
