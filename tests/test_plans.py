@@ -555,11 +555,13 @@ def test_ta16_map_side_only(spark):
 
 
 def test_dd19_no_self_join_single_exchange(spark):
-    """dd19: sorted-neighborhood pairs come from window LEADs — one
-    block-key exchange feeds both pair branches, and there is no join."""
+    """dd19: sorted-neighborhood pairs come from window LEADs exploded in
+    ONE pass — a single block-key exchange, a single Window, no join (the
+    self-union form re-ran the scan+shuffle+window per branch)."""
     plan = plan_of(spark, "dd19_sorted_neighborhood")
     assert "Join" not in plan
-    assert plan.count("Window") <= 2  # one per union branch at most (shared shuffle)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
 
 
 def test_mm05_single_key_shuffle_after_decode(spark):

@@ -402,16 +402,23 @@ def dd19_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("doc_id", 2).over(w).alias("n2"),
         F.lead("t", 2).over(w).alias("t2"),
     )
-    p1 = ordered.filter(F.col("n1").isNotNull()).select(
-        "block",
-        F.col("doc_id").alias("doc_a"),
-        F.col("n1").alias("doc_b"),
-        F.when(F.col("t") == F.col("t1"), 1).otherwise(0).alias("exact_dup"),
+    # Both window-offset pairs emit from ONE pass: a self-union of two
+    # filtered projections would re-run the scan + block shuffle + window
+    # per branch (the plan showed 2 exchanges / 2 Windows); the explode
+    # keeps one of each and is pinned in tests/test_plans.py.
+    neighbor = F.explode(
+        F.array(
+            F.struct(F.col("n1").alias("nb"), F.col("t1").alias("tb")),
+            F.struct(F.col("n2").alias("nb"), F.col("t2").alias("tb")),
+        )
     )
-    p2 = ordered.filter(F.col("n2").isNotNull()).select(
-        "block",
-        F.col("doc_id").alias("doc_a"),
-        F.col("n2").alias("doc_b"),
-        F.when(F.col("t") == F.col("t2"), 1).otherwise(0).alias("exact_dup"),
+    return (
+        ordered.select("block", "doc_id", "t", neighbor.alias("x"))
+        .filter(F.col("x.nb").isNotNull())
+        .select(
+            "block",
+            F.col("doc_id").alias("doc_a"),
+            F.col("x.nb").alias("doc_b"),
+            F.when(F.col("t") == F.col("x.tb"), 1).otherwise(0).alias("exact_dup"),
+        )
     )
-    return p1.unionByName(p2)
