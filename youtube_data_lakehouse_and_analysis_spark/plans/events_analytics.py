@@ -567,3 +567,54 @@ def ev11_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
     )
     return per_user.orderBy(F.desc("longest_streak"), F.asc("user_id")).limit(20)
+
+
+@query(
+    "ev12_dau_wau",
+    """WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       days AS (SELECT DISTINCT day FROM au),
+       dau AS (SELECT day, COUNT(*) AS dau FROM au GROUP BY day),
+       wau AS (SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+               FROM days d JOIN au a
+                 ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+               GROUP BY d.day)
+       SELECT d.day, dau.dau, wau.wau,
+              CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+       FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+       ORDER BY d.day""",
+)
+def ev12_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per calendar day —
+    the growth-team dashboard triple. Exact distinct counts: the corpus
+    first collapses to user-days (one combine-friendly distinct), then
+    the trailing window is a date-range join against the DAY GRID (30ish
+    rows), never a self-join of the event stream.
+
+    Scale: the user-day collapse is the only corpus-sized shuffle; the
+    range join replicates each user-day to ≤7 grid days (bounded fan-out,
+    broadcast day grid); COUNT(DISTINCT) shuffles (day, user) pairs
+    already bounded by 7·|user-days|. The approximate form swaps in HLL
+    sketches per day merged across the window (a03's machinery) when
+    user-days stop fitting — same plan, fixed-size state."""
+    ev = load(spark, sf_dir, "events")
+    au = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = au.select("day").distinct()
+    dau = au.groupBy("day").agg(F.count("*").alias("dau"))
+    a = au.select(F.col("day").alias("aday"), "user_id")
+    wau = (
+        F.broadcast(days)
+        .join(a, (F.col("aday") >= F.date_sub(F.col("day"), 6)) & (F.col("aday") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

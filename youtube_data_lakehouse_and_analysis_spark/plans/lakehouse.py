@@ -437,3 +437,77 @@ def scd02_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("valid_to").isNull())
         .alias("version_is_current"),
     )
+
+
+@query(
+    "dq02_order_reconciliation",
+    """WITH li AS (
+         SELECT l_orderkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS li_total
+         FROM lineitem GROUP BY l_orderkey),
+       checked AS (
+         SELECT o.o_orderstatus,
+                CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END AS orphan,
+                CASE WHEN li.l_orderkey IS NOT NULL
+                      AND abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.li_total) > 0.01
+                     THEN 1 ELSE 0 END AS mismatch,
+                CASE WHEN li.l_orderkey IS NULL THEN NULL
+                     ELSE abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.li_total) END
+                  AS abs_diff
+         FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+       SELECT o_orderstatus,
+              COUNT(*) AS n_orders,
+              CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+              CAST(SUM(mismatch) AS BIGINT) AS n_mismatched,
+              CAST(MAX(abs_diff) AS DOUBLE) AS max_abs_diff
+       FROM checked GROUP BY o_orderstatus""",
+)
+def dq02_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation (the invariant dq01's single-table
+    expectations can't see): does each order's header total equal the sum
+    of its line items, and which orders have no lines at all? Reported
+    per order status with the worst absolute deviation. All comparisons
+    run in DECIMAL(18,2) (exact, order-independent), cast to DOUBLE only
+    for the final report column. On THIS synthetic data the generator
+    draws o_totalprice independently, so every order mismatches — the
+    report says so instead of assuming the invariant holds, which is
+    precisely the point of a reconciliation check.
+
+    Scale: one combine-friendly groupBy on the lineitem side (shuffle
+    carries |orders| pre-aggregated rows, not |lineitem|), then an
+    equi-join on the order key and a ≤|statuses| rollup — the same
+    shape as the j01 fact-fact join, and the canonical pattern for
+    warehouse invariant monitoring."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("li_total")
+        )
+    )
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    orphan = F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+    diff = F.abs(F.col("o_totalprice").cast("decimal(18,2)") - F.col("li_total"))
+    mismatch = F.when(
+        F.col("l_orderkey").isNotNull() & (diff > 0.01), 1
+    ).otherwise(0)
+    abs_diff = F.when(F.col("l_orderkey").isNull(), F.lit(None)).otherwise(diff)
+    return (
+        joined.select(
+            "o_orderstatus",
+            orphan.alias("orphan"),
+            mismatch.alias("mismatch"),
+            abs_diff.alias("abs_diff"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("orphan").alias("n_orphans"),
+            F.sum("mismatch").alias("n_mismatched"),
+            F.max("abs_diff").cast("double").alias("max_abs_diff"),
+        )
+    )
