@@ -75,6 +75,9 @@ EXTENDED = [
     "ta16_char_collision",
     "mm05_phash_groups",
     "h01_pricing_summary_full",
+    "fe03_quality_classifier",
+    "scd02_point_in_time",
+    "ev12_dau_wau",
 ]
 
 
