@@ -69,3 +69,53 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_fixed_point(edges, iters=_ITERS)
+
+
+@query(
+    "gr02_butterfly_count",
+    f"""WITH raw AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        wedges AS (
+          SELECT a.supp AS s1, b.supp AS s2, COUNT(*) AS shared
+          FROM raw a JOIN raw b ON a.cust = b.cust AND a.supp < b.supp
+          GROUP BY a.supp, b.supp)
+        SELECT CAST(SUM(shared * (shared - 1) // 2) AS BIGINT) AS n_butterflies,
+               COUNT(*) AS n_supplier_pairs,
+               CAST(MAX(shared) AS BIGINT) AS max_shared_customers
+        FROM wedges""",
+)
+def gr02_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2×2 biclique) counting over the customer↔supplier
+    bipartite graph — THE density/cohesion motif for bipartite networks,
+    where triangles cannot exist (gr01's graph is bipartite, so odd
+    cycles are structurally absent): a butterfly is two customers who
+    share the same two suppliers. Counted via wedges — supplier pairs
+    co-purchased by one customer — then Σ C(shared, 2) per pair, all in
+    exact integer arithmetic.
+
+    Scale: the wedge join is per-customer (Σ C(deg_c, 2) work — the
+    well-known hazard is a hub customer buying from everyone; production
+    butterfly counting caps or samples degrees above a threshold, the
+    same discipline as dd12's bucket cap, and the per-pair aggregate is
+    combine-friendly). The summary row is a single reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a = raw.select(F.col("cust"), F.col("supp").alias("s1"))
+    b = raw.select(F.col("cust"), F.col("supp").alias("s2"))
+    wedges = (
+        a.join(b, "cust")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("shared"))
+    )
+    return wedges.agg(
+        F.sum(F.expr("shared * (shared - 1) div 2")).alias("n_butterflies"),
+        F.count("*").alias("n_supplier_pairs"),
+        F.max("shared").alias("max_shared_customers"),
+    )

@@ -361,3 +361,53 @@ def ta17_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_declared", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "ta18_keywords",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / df.df AS distinctiveness
+          FROM tf JOIN df ON tf.token = df.token)
+        SELECT doc_id, token, tf, df, distinctiveness, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY distinctiveness DESC, token) AS rank
+          FROM scored) t
+        WHERE rank <= 3""",
+)
+def ta18_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive keywords: rank each doc's tokens by
+    tf/df — high term frequency in THIS doc, low document frequency
+    across the corpus — and keep the top 3. This is TF-IDF ranking with
+    the idf monotonicity shortcut: within one document, ordering by
+    tf·idf(df) for any decreasing idf equals ordering by tf/df, so the
+    transcendental log never enters and the score is ONE deterministic
+    IEEE division (the [[oracle-dtype]] rule: no libm in oracled
+    queries). Ties break on the token string.
+
+    Scale: tf is a combine-friendly (doc, token) aggregate; df is the
+    token histogram (same shuffle key as ta06's vocabulary, reusable);
+    the join broadcasts df when the vocabulary fits (typical) and the
+    top-3 plans as WindowGroupLimit under the per-doc window — no
+    per-doc sort materializes more than the running top-3."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "distinctiveness", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("distinctiveness"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "distinctiveness", "rank")
+    )
