@@ -66,3 +66,42 @@ def asof_join(
             out = out.withColumn(c, F.when(F.col("_expired"), None).otherwise(F.col(c)))
         out = out.drop("_expired")
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: for each left row, attach the EARLIEST right
+    row with right_ts >= left_ts for the same key (the "next reading
+    after" lookup — next quote after a trade, next purchase after a
+    click). Ties at equal timestamps match, mirroring asof_join's <=
+    contract.
+
+    Same one-shuffle union+window composition as the backward form, with
+    the scan inverted: descending timestamp order, right rows first at
+    equal _ts, last(ignorenulls) carries the nearest FOLLOWING right
+    row."""
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rrow = F.struct(F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in right_cols])
+    rt = (
+        right.select(F.col(on), F.col(right_ts).alias("_ts"), rrow.alias("_rrow"))
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.desc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_match", F.last(F.col("_rrow"), ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_side") == 1)
+        .withColumn("asof_ts", F.col("_match.asof_ts"))
+        .withColumns({c: F.col(f"_match.{c}") for c in right_cols})
+        .drop("_side", "_ts", "_rrow", "_match")
+    )

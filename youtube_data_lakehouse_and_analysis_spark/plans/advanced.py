@@ -413,3 +413,36 @@ def as02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["purchase_value"],
         tolerance="30 minutes",
     )
+
+
+@query(
+    "as03_asof_forward",
+    """SELECT l.event_id, l.user_id, l.ts,
+              r.ts AS asof_ts, r.value AS purchase_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+)
+def as03_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the user's next purchase
+    at-or-after it — the row-grain "time to next conversion" lookup
+    (ev07 aggregates the same question to one latency per user; this
+    keeps every click row). operators/asof.py::asof_join_forward is the
+    backward operator's mirror: same union + single key-partitioned
+    window pass, scanned in descending time so last(ignorenulls) carries
+    the nearest FOLLOWING purchase. DuckDB's native ASOF JOIN with a
+    <= condition is the oracle.
+
+    Scale: identical to as01 — one shuffle on the key, no join, O(1)
+    window state; hot-key skew is the only hazard (AQE/salting)."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"],
+    )
