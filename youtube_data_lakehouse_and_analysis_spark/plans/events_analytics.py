@@ -618,3 +618,63 @@ def ev12_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ev13_cohort_ltv",
+    """WITH first_signup AS (
+         SELECT user_id, MIN(ts) AS signup_ts
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       rev AS (
+         SELECT f.user_id,
+                CAST(date_trunc('week', f.signup_ts) AS DATE) AS cohort_week,
+                (CAST(p.ts AS DATE) - CAST(f.signup_ts AS DATE)) // 7 AS weeks_since,
+                CAST(p.value AS DECIMAL(18,2)) AS amount
+         FROM first_signup f
+         JOIN events p ON p.user_id = f.user_id
+          AND p.event_type = 'purchase' AND p.ts >= f.signup_ts)
+       SELECT cohort_week, CAST(weeks_since AS BIGINT) AS weeks_since,
+              COUNT(DISTINCT user_id) AS n_buyers,
+              CAST(SUM(amount) AS DOUBLE) AS revenue
+       FROM rev GROUP BY cohort_week, weeks_since""",
+)
+def ev13_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: post-signup purchase revenue bucketed by
+    signup-cohort week × weeks-since-signup — the revenue sibling of
+    ev02's retention counts, and the table under every LTV-curve /
+    payback-period chart. Money runs in DECIMAL(18,2) (exact,
+    order-independent) and both week edges come from integer date
+    arithmetic (date_trunc('week') is Monday-based on both engines), so
+    every cell is bit-deterministic.
+
+    Scale: first-signup is a combine-friendly per-user MIN; the
+    cohort-assign join is user-keyed (the signup table is one row per
+    user — broadcastable long before the fact side); the triangle
+    rollup has |cohorts|×|weeks| cells with map-side partial
+    aggregation. COUNT(DISTINCT user) shuffles (cell, user) pairs —
+    swap in HLL sketches at 100 TB, same plan."""
+    ev = load(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("amount")
+    )
+    rev = (
+        first_signup.join(p, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("p_ts").cast("date"), F.col("signup_ts").cast("date")) / 7
+            ).alias("weeks_since"),
+            F.col("amount").cast("decimal(18,2)").alias("amount"),
+        )
+    )
+    return rev.groupBy("cohort_week", "weeks_since").agg(
+        F.count_distinct("user_id").alias("n_buyers"),
+        F.sum("amount").cast("double").alias("revenue"),
+    )
