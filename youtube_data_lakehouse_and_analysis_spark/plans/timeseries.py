@@ -453,3 +453,59 @@ def a14_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "w12_pareto_curve",
+    """WITH per_user AS (
+         SELECT event_type, user_id, COUNT(*) AS n_events
+         FROM events GROUP BY event_type, user_id),
+       tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+               FROM per_user GROUP BY event_type),
+       ranked AS (
+         SELECT event_type, user_id, n_events,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n_events DESC, user_id) AS rank,
+                CAST(SUM(n_events) OVER (PARTITION BY event_type
+                                         ORDER BY n_events DESC, user_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS cum_events
+         FROM per_user)
+       SELECT r.event_type, r.rank, r.user_id, r.n_events, r.cum_events,
+              CAST(r.cum_events AS DOUBLE) / t.total AS cum_share
+       FROM ranked r JOIN tot t ON r.event_type = t.event_type
+       WHERE r.rank <= 10""",
+)
+def w12_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) curve: for each event type, the
+    top-10 users by event count with their running share of all events —
+    the "does 20% of the audience drive 80% of the traffic" table. The
+    running sum is INTEGER arithmetic under a (count DESC, user_id)
+    total order — exact at every prefix — and only the reported share
+    divides (one IEEE op per row), so ranks, cumulative counts, and
+    shares are bit-deterministic.
+
+    Scale: one combine-friendly (type, user) count, then a per-type
+    window whose running sum Spark evaluates in a single sorted pass
+    (top-10 via WindowGroupLimit keeps the sort bounded); the totals
+    join broadcasts (one row per event type)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    tot = per_user.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("user_id"))
+    ranked = per_user.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_events",
+        F.sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 10)
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "n_events",
+            "cum_events",
+            (F.col("cum_events").cast("double") / F.col("total")).alias("cum_share"),
+        )
+    )
