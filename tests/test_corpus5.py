@@ -1,0 +1,114 @@
+"""Invariant tests for the batch-5 corpus operators (plans/corpus5.py),
+gr03 triangle counting, and sim11 PQ search — semantic properties the
+oracle hash can't express (ranking monotonicity, partition totality,
+cross-checks against an independent Python computation)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from youtube_data_lakehouse_and_analysis_spark.catalog import load
+from youtube_data_lakehouse_and_analysis_spark.plans.corpus5 import (
+    _BM25_TERMS,
+    ir02_bm25,
+    sm08_epoch_shuffle_manifest,
+    sm09_dsir_affinity,
+    ta19_lm_quality_gate,
+)
+from youtube_data_lakehouse_and_analysis_spark.plans.graph_q import gr03_triangle_count
+from youtube_data_lakehouse_and_analysis_spark.plans.similarity import sim11_pq_topk
+
+from .conftest import SF_DIR
+
+
+def test_bm25_ranking_properties(spark):
+    rows = ir02_bm25(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25_scaled"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # every returned doc contains at least one query term
+    for r in rows:
+        assert sum(r[f"tf_{t}"] for t in _BM25_TERMS) > 0
+
+
+def test_lm_gate_english_dominates_head(spark):
+    rows = ta19_lm_quality_gate(spark, SF_DIR).collect()
+    n = len(rows)
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    # terciles within 1 of each other, and they partition the corpus
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sum(sizes) == n and sizes[-1] - sizes[0] <= 1
+    # the LM is trained on English: en docs must be overrepresented in
+    # the head tercile relative to their corpus share
+    en_share = sum(r["lang"] == "en" for r in rows) / n
+    head = by_bucket["head"]
+    en_head_share = sum(r["lang"] == "en" for r in head) / len(head)
+    assert en_head_share > en_share
+
+
+def test_epoch_shuffle_is_total_and_deterministic(spark):
+    m1 = sm08_epoch_shuffle_manifest(spark, SF_DIR).collect()
+    m2 = sm08_epoch_shuffle_manifest(spark, SF_DIR).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    total = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in m1) == total
+    # hash sharding at 500 docs / 16 shards: every shard non-empty and
+    # no shard hoards (loose 4× balance bound)
+    counts = [r["n_docs"] for r in m1]
+    assert min(counts) > 0 and max(counts) < 4 * total / len(counts)
+
+
+def test_dsir_target_language_scores_highest(spark):
+    rows = {r["lang"]: r for r in sm09_dsir_affinity(spark, SF_DIR).collect()}
+    en = rows["en"]["mean_affinity_scaled"]
+    for lang, r in rows.items():
+        if lang != "en":
+            assert en > r["mean_affinity_scaled"], lang
+
+
+def test_pq_topk_shape_and_distance_order(spark):
+    rows = sim11_pq_topk(spark, SF_DIR).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["adc_dist"] >= 0 and r["query_id"] != r["cand_id"]
+        per_q[r["query_id"]].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_triangle_count_matches_python(spark):
+    """Cross-check the distributed wedge-close plan against a direct
+    Python triangle enumeration of the same (small, sf0.001) graph."""
+    row = gr03_triangle_count(spark, SF_DIR).collect()[0]
+    o = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_orderkey")
+    )
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    lp = li.join(o, li["l_orderkey"] == o["o_orderkey"]).distinct().collect()
+    by_order = defaultdict(set)
+    for r in lp:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    nbrs = defaultdict(set)  # oriented: u -> {v > u}
+    for u, v in edges:
+        nbrs[u].add(v)
+    tri = sum(
+        1 for u, vs in nbrs.items() for v in vs for w in nbrs.get(v, ()) if w in vs
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri

@@ -1,0 +1,431 @@
+"""Training-data pipeline operators, batch 5: lexical retrieval ranking,
+n-gram LM quality gating, epoch-deterministic shuffle manifests, and
+DSIR-style hashed importance weights.
+
+  ir02 — integer-exact BM25 ranking (Robertson/Spärck Jones) over the
+         documents table for a fixed query: tf, df, dl and avgdl enter a
+         fully rational score (k1 = 6/5, b = 3/4 cleared to integers) so
+         both engines produce bit-identical BIGINT scores
+  ta19 — CCNet-style LM quality gate: a bigram LM with add-one smoothing
+         is "trained" on the English slice and every document is scored
+         by its mean scaled conditional probability, then bucketed
+         head/middle/tail
+  sm08 — epoch-deterministic global shuffle: a keyed-md5 permutation
+         assigns every doc a shard and an intra-shard position, and the
+         per-shard manifest (counts, bytes, order checksum) pins the
+         exact permutation an epoch's dataloader would replay
+  sm09 — DSIR-shaped importance weights (Xie et al. 2023): hashed
+         unigram buckets, target(=en)/source frequency ratios, per-doc
+         mean affinity, reported per language
+
+The reference carries no corpus machinery (SURVEY §2.11 — its text
+columns pass through untouched, /root/reference/app.py:322-389); this
+family is the 100 TB LLM-pipeline extension surface.
+
+Determinism notes: transcendentals are libm-dependent across engines
+(see f05_math), so nothing here takes a log — BM25's idf and both LM /
+DSIR scores are scaled-integer rationals (floor division over exact
+integer products), every cross-term product is bounded well inside
+BIGINT at bench scales (bounds in each docstring), and integer sums are
+order-independent under any partitioning. Documents ship pre-normalized
+(single-space lowercase), so both engines split on a single space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import md5_keyed, md5_prefix_long, sql_md5_prefix_long
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# ir02 — integer-exact BM25 ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "vector")
+_BM25_SCALE = 100_000  # idf quantum; see overflow bound in the docstring
+
+# k1 = 6/5, b = 3/4 ⇒ tf-component = 22·tf·TL / (10·tf·TL + 3·TL + 9·dl·N)
+# after clearing denominators by 10·TL (TL = Σ dl — total corpus tokens).
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((((n - df{i} + 1) * {_BM25_SCALE}) // (df{i} + 1)) * (22 * tf{i} * tl)) "
+        f"// (10 * tf{i} * tl + 3 * tl + 9 * dl * n) ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_aliases = ", ".join(
+        f"tf{i} AS tf_{t}" for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        t AS (SELECT doc_id, len(ws) AS dl, {tf_cols} FROM w),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl,
+                     {df_cols}
+              FROM t),
+        sc AS (SELECT doc_id, dl, {", ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))},
+                      {score_terms} AS bm25_scaled
+               FROM t CROSS JOIN s)
+        SELECT doc_id, dl, {tf_aliases}, bm25_scaled
+        FROM sc WHERE bm25_scaled > 0
+        ORDER BY bm25_scaled DESC, doc_id LIMIT 10"""
+
+
+def _tf_count(term: str):
+    """Occurrences of `term` in the ws array (single-arg lambda — the
+    two-arg form would be read as PySpark's (element, index) filter)."""
+    return F.size(F.filter("ws", lambda x: x == F.lit(term)))
+
+
+@query("ir02_bm25", _bm25_sql())
+def ir02_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query {spark, window, vector} — the
+    lexical-retrieval ranking primitive (inverted-index scoring) next to
+    ir01's boolean keyword top-k, and the standard sparse half of a
+    hybrid dense+sparse retrieval stack for training-data curation.
+
+    Integer-exact scoring: idf is the rational surrogate
+    ((N − df + 1)·SCALE) ÷ (df + 1) (monotone in the classical
+    log-idf, log itself being libm-dependent — see f05), and the
+    k1 = 1.2 / b = 0.75 saturation term is cleared to one BIGINT ratio
+    per term. Per-doc totals add ≤3 BIGINTs in fixed column order — no
+    float, no order dependence. Overflow bound: idf ≤ (N+1)·SCALE,
+    numerator ≤ 22·tf·TL, so the product stays under 2⁶³ through
+    sf0.1 (≈1.7e17); larger corpora shrink SCALE.
+
+    Scale: tf/dl are map-side per-doc expressions; the corpus stats
+    (N, TL, df per term) are ONE tiny all-reduce broadcast back into a
+    map-side score — a scan + two exchanges of one row, then
+    TakeOrderedAndProject for the top-10. No per-term explode, no join
+    against a posting list: for a fixed small query, scoring is a
+    projection."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        *[_tf_count(t_).alias(f"tf{i}") for i, t_ in enumerate(_BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    sc = t.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = F.expr(
+            f"CASE WHEN tf{i} > 0 THEN "
+            f"((((n - df{i} + 1) * {_BM25_SCALE}) div (df{i} + 1)) * (22 * tf{i} * tl)) "
+            f"div (10 * tf{i} * tl + 3 * tl + 9 * dl * n) ELSE 0 END"
+        )
+        score = term if score is None else score + term
+    sc = sc.withColumn("bm25_scaled", score)
+    return (
+        sc.filter(F.col("bm25_scaled") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[
+                F.col(f"tf{i}").alias(f"tf_{t_}")
+                for i, t_ in enumerate(_BM25_TERMS)
+            ],
+            "bm25_scaled",
+        )
+        .orderBy(F.desc("bm25_scaled"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta19 — bigram-LM quality gate (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000
+_LM_LANG = "en"
+
+
+@query(
+    "ta19_lm_quality_gate",
+    f"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        bg AS (SELECT doc_id, lang, ws[i + 1] AS w1, ws[i + 2] AS w2
+               FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 2),
+        c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1),
+        v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+              FROM (SELECT unnest(ws) AS word FROM w WHERE lang = '{_LM_LANG}')),
+        p AS (SELECT b.doc_id, b.lang,
+                     ((COALESCE(c2.c2, 0) + 1) * {_LM_SCALE})
+                       // (COALESCE(c1.c1, 0) + v.v) AS p
+              FROM bg b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN c1 ON b.w1 = c1.w1
+              CROSS JOIN v),
+        d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(p) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS mean_condprob_scaled
+              FROM p GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_bigrams, mean_condprob_scaled,
+               CASE NTILE(3) OVER (ORDER BY mean_condprob_scaled DESC, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM d""",
+)
+def ta19_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020): train a bigram
+    LM with add-one smoothing on the English slice, score EVERY document
+    by its mean scaled conditional probability p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V), and split the corpus into head/middle/tail
+    terciles — the classic perplexity-bucket curriculum, with the mean
+    probability as the integer-exact monotone surrogate for mean log
+    probability (logs are libm-dependent across engines, see f05; the
+    tercile CUTS differ from true-perplexity cuts only where document
+    rankings differ, which the docstring accepts and records).
+
+    Scale: the "LM" is two count tables over the target slice — both
+    tiny relative to the corpus (vocab², vocab) and BROADCAST into the
+    scoring join, so scoring is map-side over the exploded bigram
+    stream; per-doc reduction is a combine-friendly integer groupBy.
+    NTILE over a global order is the one non-scalable step (exact
+    terciles need a total order) — production swaps approx_percentile
+    cutoffs computed in one pass, as ta15 does for its median gate."""
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    bg = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "lang", "b.w1", "b.w2")
+    )
+    en = bg.filter(F.col("lang") == _LM_LANG)
+    c2 = en.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = en.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        w.filter(F.col("lang") == _LM_LANG)
+        .select(F.explode("ws").alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    p = (
+        bg.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"((COALESCE(c2, 0) + 1) * {_LM_SCALE}) div (COALESCE(c1, 0) + v)"
+            ).alias("p"),
+        )
+    )
+    d = p.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(p) div count(*)").alias("mean_condprob_scaled"),
+    )
+    tercile = F.ntile(3).over(
+        Window.orderBy(F.desc("mean_condprob_scaled"), F.asc("doc_id"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "mean_condprob_scaled",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sm08 — epoch-deterministic shuffle manifest
+# ---------------------------------------------------------------------------
+
+_EPOCH = 7
+_SHARDS = 16
+
+
+@query(
+    "sm08_epoch_shuffle_manifest",
+    f"""WITH h AS (
+          SELECT doc_id, n_chars,
+                 md5('{_EPOCH}|' || CAST(doc_id AS VARCHAR)) AS hx,
+                 {sql_md5_prefix_long(f"'{_EPOCH}|' || CAST(doc_id AS VARCHAR)")}
+                   % {_SHARDS} AS shard
+          FROM documents),
+        pos AS (
+          SELECT shard, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+          FROM h)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+               CAST(SUM(pos * (doc_id + 1)) AS BIGINT) AS order_checksum
+        FROM pos GROUP BY shard ORDER BY shard""",
+)
+def sm08_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global shuffle for training dataloaders: a
+    keyed md5 (epoch number as the key) permutes the corpus, shards are
+    assigned by hash modulo, and intra-shard order is the hash order —
+    so every epoch is a DIFFERENT but perfectly REPRODUCIBLE
+    permutation, with no RNG state to checkpoint. The manifest row per
+    shard (doc count, byte budget, id range, and a position-weighted
+    checksum Σ pos·(doc_id+1)) pins the exact permutation: any reader
+    that replays the shard in a different order fails the checksum.
+
+    Scale: shard assignment is a map-side hash; intra-shard positions
+    are a window PARTITIONED by shard (the global permutation is never
+    materialized in one place — each shard sorts locally after one
+    shuffle on shard id, exactly how a 1000-executor job would lay out
+    epoch files). Checksum and byte totals are combine-friendly integer
+    aggregates. This is sm03's split assignment upgraded from membership
+    to a full ordered-layout contract."""
+    key = md5_keyed(_EPOCH, F.col("doc_id").cast("string"))
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        key.alias("hx"),
+        (md5_prefix_long(F.concat(F.lit(f"{_EPOCH}|"), F.col("doc_id").cast("string"))) % _SHARDS).alias(
+            "shard"
+        ),
+    )
+    pos = h.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(F.asc("hx"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum(F.expr("pos * (doc_id + 1)")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sm09 — DSIR-style hashed importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "sm09_dsir_affinity",
+    f"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+        b AS (SELECT doc_id, lang,
+                     {sql_md5_prefix_long("word")} % {_DSIR_B} AS bucket
+              FROM w),
+        src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM b GROUP BY bucket),
+        tots AS (SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS ts,
+                        CAST((SELECT COUNT(*) FROM b WHERE lang = '{_LM_LANG}') AS BIGINT) AS tt),
+        tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM b WHERE lang = '{_LM_LANG}' GROUP BY bucket),
+        r AS (SELECT s.bucket,
+                     ((COALESCE(t.ct, 0) + 1) * (o.ts + {_DSIR_B}) * {_DSIR_SCALE})
+                       // ((s.cs + 1) * (o.tt + {_DSIR_B})) AS ratio
+              FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket CROSS JOIN tots o),
+        d AS (SELECT doc_id, lang,
+                     CAST(SUM(ratio) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS aff
+              FROM b JOIN r ON b.bucket = r.bucket GROUP BY doc_id, lang)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(aff) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                 AS mean_affinity_scaled,
+               MIN(aff) AS min_affinity_scaled,
+               MAX(aff) AS max_affinity_scaled
+        FROM d GROUP BY lang ORDER BY lang""",
+)
+def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every unigram into
+    one of B buckets, estimate target (English slice) vs source (whole
+    corpus) bucket frequencies with add-one smoothing, and score each
+    document by its mean scaled frequency RATIO — the integer-exact
+    monotone stand-in for the mean log-likelihood ratio (logs are
+    libm-dependent across engines, f05; ratio-mean and log-ratio-mean
+    rank differently in general, which this operator documents and
+    accepts — the point is the hashed-feature estimation pipeline).
+    Reported per language: English lands highest by construction, and
+    the gap to other languages measures the selector's discrimination.
+
+    Scale: the feature table is B=1024 rows regardless of corpus size —
+    built by one combine-friendly count shuffle, then BROADCAST into the
+    word stream so per-doc scoring is map-side + one integer groupBy.
+    Products are bounded by (tot_t+B)·(tot_s+B)·SCALE ≈ 4e16 at sf0.1,
+    inside BIGINT through sf1 (≈4e18); larger corpora shrink SCALE.
+    This is exactly how DSIR runs over a full CommonCrawl: two passes,
+    no driver state beyond the 1024-row table."""
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    b = w.select(
+        "doc_id", "lang", (md5_prefix_long(F.col("word")) % _DSIR_B).alias("bucket")
+    )
+    src = b.groupBy("bucket").agg(F.count("*").alias("cs"))
+    tgt = (
+        b.filter(F.col("lang") == _LM_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = b.agg(
+        F.count("*").alias("ts"),
+        F.sum((F.col("lang") == _LM_LANG).cast("long")).alias("tt"),
+    )
+    r = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.expr(
+                f"((COALESCE(ct, 0) + 1) * (ts + {_DSIR_B}) * {_DSIR_SCALE})"
+                f" div ((cs + 1) * (tt + {_DSIR_B}))"
+            ).alias("ratio"),
+        )
+    )
+    d = (
+        b.join(F.broadcast(r), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(ratio) div count(*)").alias("aff"))
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(aff) div count(*)").alias("mean_affinity_scaled"),
+            F.min("aff").alias("min_affinity_scaled"),
+            F.max("aff").alias("max_affinity_scaled"),
+        )
+        .orderBy("lang")
+    )

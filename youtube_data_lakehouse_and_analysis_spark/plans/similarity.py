@@ -628,3 +628,140 @@ def sim10_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_eval(
         spark, sf_dir, lambda emb, pred: S.lsh_multiprobe_topk(emb, pred, _SIGNS, k=3)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim11 — product quantization (PQ) with asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces (16 dims each over the 64-dim vectors)
+_PQ_K = 8  # centroids per subspace codebook
+_PQ_SUBDIM = _DIMS // _PQ_M
+
+_PQ_SQL = f"""WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    cents AS (
+      SELECT qv, rn - 1 AS cid FROM (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM base) t
+      WHERE rn <= {_PQ_K}),
+    subq AS (
+      SELECT vec_id, m, list_slice(qv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM base, UNNEST(range(0, {_PQ_M})) AS t(m)),
+    csub AS (
+      SELECT cid, m, list_slice(qv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM cents, UNNEST(range(0, {_PQ_M})) AS t(m)),
+    edist AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                  i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i]))) AS BIGINT) AS d
+      FROM subq s JOIN csub c ON s.m = c.m),
+    enc AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        FROM edist) t
+      WHERE rn = 1),
+    dt AS (SELECT vec_id AS query_id, m, cid, d FROM edist WHERE vec_id % 50 = 0),
+    adc AS (
+      SELECT dt.query_id, en.vec_id AS cand_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+      FROM enc en JOIN dt ON en.m = dt.m AND en.code = dt.cid
+      GROUP BY dt.query_id, en.vec_id)
+    SELECT query_id, cand_id, adc_dist, rn FROM (
+      SELECT query_id, cand_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+      FROM adc WHERE query_id <> cand_id) t
+    WHERE rn <= 5"""
+
+
+@query("sim11_pq_topk", _PQ_SQL)
+def sim11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors are split
+    into M=4 subspaces, each encoded as its nearest of K=8 codebook
+    centroids (codebook = the 8 md5-first vectors — a deterministic
+    stand-in for per-subspace k-means; sim06 holds the Lloyd machinery
+    that production would run here), and queries score candidates by
+    ASYMMETRIC distance: the exact query-to-centroid distance table,
+    summed over each candidate's 4 stored codes. All distances are exact
+    integers over the quantized grid, so ranks are engine-identical
+    (ties broken by cand_id).
+
+    Scale: THE memory-bound ANN design — candidates shrink from 64
+    floats to M log2 K = 12 BITS each, so a 100 TB float corpus becomes
+    ~0.05 TB of codes scannable from memory; the per-query work is a
+    K×M lookup-table build (32 tiny integer distances) plus one
+    SUM-over-codes scan, here the broadcast-joined dt table. Encoding is
+    a map-side argmin against the broadcast codebook (8 rows). The
+    row_number per (vec, m) and per query are partitioned windows — no
+    global sort anywhere."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.quantize("embedding").alias("qv")
+    )
+    # TakeOrderedAndProject picks the K codebook rows without a global
+    # sort of the corpus; the row_number window then runs on K rows only.
+    cents = (
+        base.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(_PQ_K)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.asc("h"), F.asc("vec_id")))
+        )
+        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cqv"))
+    )
+    sub = base.select(
+        "vec_id",
+        "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id", "m", F.expr(f"slice(qv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub")
+    )
+    csub = cents.select(
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        F.col("cqv"),
+    ).select(
+        "cid", "m", F.expr(f"slice(cqv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("csub")
+    )
+    edist = (
+        sub.join(F.broadcast(csub), "m")
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    enc = (
+        edist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cid")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.cid").alias("code"))
+    )
+    # Renamed join keys: enc and dt share the edist lineage, and same-id
+    # column references would collapse to a trivially-true predicate.
+    dt = edist.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        "d",
+    )
+    adc = (
+        enc.join(
+            F.broadcast(dt),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "adc_dist", "rn")
+    )
