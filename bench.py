@@ -78,6 +78,12 @@ EXTENDED = [
     "fe03_quality_classifier",
     "scd02_point_in_time",
     "ev12_dau_wau",
+    # r7 additions
+    "ir02_bm25",
+    "ta19_lm_quality_gate",
+    "sm09_dsir_affinity",
+    "sim11_pq_topk",
+    "gr03_triangle_count",
 ]
 
 

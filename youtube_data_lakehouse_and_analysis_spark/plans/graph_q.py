@@ -171,14 +171,28 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        # The edge list feeds four branches (e1, e2, the closing probe,
+        # and the edge count); checkpoint it so it's computed once — at
+        # scale this is the materialized compact edge list every
+        # production triangle counter builds first.
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = wedges.join(e3, ["a", "c"])
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    # One pass over the wedges: a left probe into the closing-edge set
+    # counts wedges and triangles together ((a,c) is unique in edges, so
+    # a match never duplicates a wedge row).
+    e3 = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("c"), F.lit(1).alias("hit")
+    )
+    closed = wedges.join(e3, ["a", "c"], "left").agg(
+        F.count("hit").alias("n_triangles"),
+        F.count("*").alias("n_wedges"),
+    )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    return n_tri.crossJoin(n_edges).crossJoin(n_wedges)
+    return closed.crossJoin(n_edges).select("n_triangles", "n_edges", "n_wedges")
