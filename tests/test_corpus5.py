@@ -112,3 +112,42 @@ def test_triangle_count_matches_python(spark):
     )
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == tri
+
+
+def test_char_window_dup_mass_bounds(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus5 import (
+        dd20_char_window_dup_mass,
+    )
+
+    rows = dd20_char_window_dup_mass(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_windows"]
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0 <= r["dup_mass_permille"] <= 1000
+
+
+def test_merge_apply_saves_tokens(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus5 import (
+        ta20_merge_apply,
+    )
+
+    rows = ta20_merge_apply(spark, SF_DIR).collect()
+    assert all(0 <= r["n_merged"] < r["n_tokens_before"] for r in rows)
+    # the merge list is the corpus's TOP bigrams: applying it must
+    # actually contract a meaningful share of documents (the synthetic
+    # corpus's near-uniform bigram distribution caps this well below
+    # what natural text would show — a quarter is the robust floor)
+    assert sum(r["n_merged"] > 0 for r in rows) > len(rows) / 4
+
+
+def test_map_in_arrow_argmax_range(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.pandas_ops import (
+        pd04_map_in_arrow,
+    )
+
+    rows = pd04_map_in_arrow(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["argmax_dim"] <= 64
+        assert r["l1_scaled"] > 0

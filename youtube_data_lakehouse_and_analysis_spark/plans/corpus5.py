@@ -429,3 +429,203 @@ def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd20 — char-window duplicate mass (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+_WIN = 20  # window length (chars)
+_STRIDE = 10
+
+
+@query(
+    "dd20_char_window_dup_mass",
+    f"""WITH wpos AS (
+          SELECT doc_id, substring(text, p, {_WIN}) AS w
+          FROM documents, UNNEST(range(1, len(text) - {_WIN - 2}, {_STRIDE})) AS t(p)
+          WHERE len(text) >= {_WIN}),
+        dw AS (SELECT DISTINCT doc_id, w FROM wpos),
+        fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w),
+        j AS (SELECT wpos.doc_id, fr.c FROM wpos JOIN fr ON wpos.w = fr.w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows,
+               (CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+                 // CAST(COUNT(*) AS BIGINT) AS dup_mass_permille
+        FROM j GROUP BY doc_id""",
+)
+def dd20_char_window_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplicate-mass scoring, the streaming-friendly
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    20-char window at stride 10 over every document, call a window
+    duplicated when it occurs in ≥2 DISTINCT documents, and report per
+    doc the fraction of its windows that are duplicated (integer
+    permille). Complements the word-level families: dd09 finds the top
+    shared n-grams, ta14 measures within-corpus n-gram repetition — this
+    measures each document's cross-document copied MASS at character
+    granularity, the signal ExactSubstr thresholds to cut boilerplate.
+
+    Scale: windowing is a map-side Generate (positions arithmetic, no
+    Python); the window-frequency table is one combine-friendly count
+    shuffle keyed by the 20-char window (uniformly-hashed keys — no skew
+    hazard beyond hot boilerplate, which is precisely the signal); the
+    join back is window-keyed and AQE-coalesced; the per-doc rollup is
+    an integer groupBy. Production drops the window STRINGS for 8-byte
+    hashes before the shuffle (same keys, 2.5× narrower rows) — here the
+    strings keep the oracle twin byte-exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wpos = (
+        d.filter(F.length("text") >= _WIN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("text") - (_WIN - 1), F.lit(_STRIDE)
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, p, {_WIN})").alias("w"))
+    )
+    fr = (
+        wpos.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    j = wpos.join(fr, "w")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.col("c") >= 2).cast("long")).alias("n_dup_windows"),
+        F.expr("(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1000) div count(*)").alias(
+            "dup_mass_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta20 — apply learned merges (tokenizer-apply)
+# ---------------------------------------------------------------------------
+
+_N_MERGES = 8
+
+
+def _ta20_sql() -> str:
+    applied = "' ' || text || ' '"
+    for i in range(1, _N_MERGES + 1):
+        applied = f"replace({applied}, m{i}f, m{i}t)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN rk = {i} THEN ' ' || w1 || ' ' || w2 || ' ' END) AS m{i}f, "
+        f"MAX(CASE WHEN rk = {i} THEN ' ' || w1 || '_' || w2 || ' ' END) AS m{i}t"
+        for i in range(1, _N_MERGES + 1)
+    )
+    return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+               FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 2),
+        ranked AS (
+          SELECT w1, w2, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rk
+          FROM bg GROUP BY w1, w2),
+        merges AS (SELECT {piv_cols} FROM ranked WHERE rk <= {_N_MERGES}),
+        applied AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens_before,
+                 len(string_split(trim({applied}), ' ')) AS n_tokens_after
+          FROM documents CROSS JOIN merges)
+        SELECT doc_id, n_tokens_before, n_tokens_after,
+               n_tokens_before - n_tokens_after AS n_merged
+        FROM applied"""
+
+
+@query("ta20_merge_apply", _ta20_sql())
+def ta20_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-APPLY: contract the corpus's top-8 word bigrams (by
+    count, lexicographic tiebreak) into single underscore-joined tokens,
+    in rank order — the encode side of the BPE loop whose TRAINER lives
+    in ta05/ta10 (this is the word-level analog of applying a learned
+    merge list to the token stream; the real BPE encoder iterates the
+    identical replace-in-rank-order discipline at byte level). Reports
+    per doc the token count before/after and the merge savings — the
+    statistic that prices a vocabulary change against a 100 TB corpus.
+
+    Replacement semantics are pinned cross-engine: both replace() scans
+    consume matched spans left-to-right without rescanning their own
+    output, so of back-to-back occurrences ("a b a b") only the first
+    merges per pass — deterministic and identical in Spark and DuckDB,
+    asserted by the oracle hash over every document.
+
+    Scale: the merge list is learned with ONE combine-friendly bigram
+    count shuffle, pivoted to a single broadcast row; application is 8
+    chained JVM string replaces — map-side, no explode of the applied
+    corpus, no Python. The learned list is rank-stable because count
+    ties break lexicographically."""
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    )
+    bg = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    # TakeOrderedAndProject picks the top merges without a global sort of
+    # the count table; the ranking window then runs on _N_MERGES rows.
+    ranked = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(_N_MERGES)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+            ),
+        )
+    )
+    piv = ranked.groupBy().agg(
+        *[
+            c
+            for i in range(1, _N_MERGES + 1)
+            for c in (
+                F.max(
+                    F.when(
+                        F.col("rk") == i,
+                        F.concat(
+                            F.lit(" "), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" ")
+                        ),
+                    )
+                ).alias(f"m{i}f"),
+                F.max(
+                    F.when(
+                        F.col("rk") == i,
+                        F.concat(
+                            F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" ")
+                        ),
+                    )
+                ).alias(f"m{i}t"),
+            )
+        ]
+    )
+    applied_expr = "concat(' ', text, ' ')"
+    for i in range(1, _N_MERGES + 1):
+        applied_expr = f"replace({applied_expr}, m{i}f, m{i}t)"
+    return (
+        w.crossJoin(F.broadcast(piv))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_tokens_before"),
+            F.size(F.split(F.expr(f"trim({applied_expr})"), " ")).alias(
+                "n_tokens_after"
+            ),
+        )
+        .withColumn(
+            "n_merged", F.col("n_tokens_before") - F.col("n_tokens_after")
+        )
+    )
