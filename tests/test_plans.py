@@ -579,3 +579,62 @@ def test_sim10_multiprobe_broadcast_bucket_join(spark):
     plan = plan_of(spark, "sim10_multiprobe_recall")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # bucket join + overlap semi-join
+
+
+def test_ir02_takeordered_stats_broadcast_no_python(spark):
+    """BM25 (ir02): scoring must stay a map-side projection — top-10 via
+    per-partition heap, the 1-row corpus-stats join broadcast, no
+    explode of the corpus, no Python."""
+    plan = plan_of(spark, "ir02_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sim11_codebook_broadcast_no_smj(spark):
+    """PQ (sim11): encode and ADC joins are against K-row broadcast
+    tables — a SortMergeJoin would mean the codebook/lookup-table got
+    shuffled like a fact."""
+    plan = plan_of(spark, "sim11_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dd20_char_windows_stay_jvm(spark):
+    """Char-window dup mass (dd20): windowing is a JVM Generate (no
+    Python), and the frequency join is an equi hash join on the window
+    key."""
+    plan = plan_of(spark, "dd20_char_window_dup_mass")
+    assert "Generate" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ta20_apply_side_no_explode(spark):
+    """Merge-apply (ta20): the TRAINING side explodes bigrams, but the
+    APPLY side must be chained replaces over a 1-row broadcast merge
+    table — one Generate total (training), none re-exploding the applied
+    corpus, and no Python."""
+    plan = plan_of(spark, "ta20_merge_apply")
+    assert plan.count("Generate") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pd04_single_arrow_eval_node(spark):
+    """mapInArrow (pd04): exactly one Python eval node, and it is the
+    Arrow-map operator — no hidden per-row UDF fallback anywhere."""
+    plan = plan_of(spark, "pd04_map_in_arrow")
+    assert plan.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_gr03_edge_list_computed_once(spark):
+    """Triangle counting (gr03): the checkpointed edge list must feed
+    all branches — at most one lineitem⋈orders join subtree in the
+    plan (the pre-checkpoint build), not one per count."""
+    plan = plan_of(spark, "gr03_triangle_count")
+    # the checkpointed RDD scan replaces the scan+join pipeline in every
+    # consumer branch; only ExistingRDD scans remain
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Scan parquet" not in plan
