@@ -151,3 +151,55 @@ def test_map_in_arrow_argmax_range(spark):
     for r in rows:
         assert 1 <= r["argmax_dim"] <= 64
         assert r["l1_scaled"] > 0
+
+
+def test_lsh_band_eval_bounds(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        dd21_lsh_band_eval,
+    )
+
+    r = dd21_lsh_band_eval(spark, SF_DIR).collect()[0]
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert 0 <= r["precision_permille"] <= 1000
+    assert 0 <= r["recall_permille"] <= 1000
+    # the planted near-duplicates sit far above J=0.3, so the 4x4
+    # banding must surface (nearly) all of them
+    assert r["recall_permille"] >= 900
+
+
+def test_time_decay_caps_raw_value(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        ev14_time_decay_scores,
+    )
+
+    rows = ev14_time_decay_scores(spark, SF_DIR).collect()
+    scores = [r["decayed_cents"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    ev = load(spark, SF_DIR, "events")
+    raw = {
+        r["user_id"]: r["raw"]
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("raw")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["decayed_cents"] <= raw[r["user_id"]]
+
+
+def test_vintage_drift_partitions_by_year(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        dq03_vintage_drift,
+    )
+
+    rows = dq03_vintage_drift(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "orders")
+    n95 = ev.filter(F.year("o_orderdate") == 1995).count()
+    n96 = ev.filter(F.year("o_orderdate") == 1996).count()
+    assert sum(r["n_1995"] for r in rows) == n95
+    assert sum(r["n_1996"] for r in rows) == n96
+    for r in rows:
+        assert r["cross_l1_dev"] == abs(r["n_1995"] * n96 - r["n_1996"] * n95)

@@ -1,0 +1,282 @@
+"""Training-data pipeline operators, batch 6: LSH banding quality
+evaluation, integer time-decay scoring, and cross-vintage drift
+monitoring.
+
+  dd21 — precision/recall of the MinHash-LSH banding (dd03's 4×4
+         scheme) against exact-Jaccard ground truth: the eval that sizes
+         bands/rows before trusting the approximate dedup path, sibling
+         of sim09/sim10's ANN recall evals
+  ev14 — time-decayed engagement scores with power-of-two half-life
+         weights (value >> age-epochs): exponential decay without a
+         single float, so scores are bit-stable under any partitioning
+  dq03 — distribution drift between order vintages (1995 vs 1996):
+         fixed integer price buckets, cross-multiplied L1 deviation (no
+         division) — the monitoring statistic a data contract alerts on
+
+Like every corpus batch: no transcendentals (f05), integer arithmetic
+with documented BIGINT bounds, and DuckDB oracle twins over the same
+fragments the dedup family already pins (plans/dedup.py CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from .dedup import _SIG_CTE
+from .queries import dec2, query
+
+# ---------------------------------------------------------------------------
+# dd21 — LSH banding precision/recall vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_J_NUM, _J_DEN = 3, 10  # truth threshold J >= 3/10, compared cross-multiplied
+
+
+@query(
+    "dd21_lsh_band_eval",
+    f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandkey a
+          JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE {_J_DEN} * n_common >= {_J_NUM} * (sa.n + sb.n - n_common)
+        ),
+        hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+          CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN 0
+               ELSE ((SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000)
+                    // (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) END
+            AS precision_permille,
+          CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+               ELSE ((SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000)
+                    // (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) END
+            AS recall_permille""",
+)
+def dd21_lsh_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the MinHash-LSH banding scheme (dd03's 4 bands × 4 rows)
+    against exact-Jaccard ground truth at J ≥ 0.3: precision (how many
+    candidate pairs are real) and recall (how many real pairs the
+    banding surfaces) in integer permille. This is the sizing eval every
+    production dedup runs before trusting LSH — the S-curve theory gives
+    P(candidate) = 1−(1−J^r)^b, and this op measures the actual corpus
+    against it. Sibling of sim09/sim10 (ANN recall evals): approximate
+    paths ship with their measured quality, never assumed.
+
+    Truth uses cross-multiplied integer comparison (10·common ≥
+    3·union) — no float threshold edge. Ground truth is exact over
+    pairs sharing ≥1 shingle (disjoint pairs have J = 0 < t by
+    construction), priced like dd04: the eval is quadratic-ish and runs
+    on a SAMPLE at 100 TB, while the banding path it certifies stays
+    linear. Both legs reuse the pinned shingle/signature fragments, so
+    the eval cannot fork from the operators it measures."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(
+            _J_DEN * F.col("n_common")
+            >= _J_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        nh.crossJoin(nt)
+        .crossJoin(nc)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN 0"
+                " ELSE (n_hits * 1000) div n_candidates END"
+            ).alias("precision_permille"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN 0"
+                " ELSE (n_hits * 1000) div n_truth END"
+            ).alias("recall_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev14 — integer time-decay engagement score
+# ---------------------------------------------------------------------------
+
+_DECAY_EPOCH_DAYS = 28  # one half-life per 4 weeks of age
+_DECAY_MAX_SHIFT = 20
+
+
+@query(
+    "ev14_time_decay_scores",
+    f"""WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
+        w AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 least(date_diff('day', CAST(ts AS DATE), ref_day)
+                         // {_DECAY_EPOCH_DAYS}, {_DECAY_MAX_SHIFT}) AS k
+          FROM events CROSS JOIN ref
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents // (CAST(1 AS BIGINT) << k)) AS BIGINT)
+                 AS decayed_cents
+        FROM w GROUP BY user_id
+        ORDER BY decayed_cents DESC, user_id LIMIT 20""",
+)
+def ev14_time_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by time-decayed engagement value: each event's exact
+    cents are right-shifted one bit per 4 weeks of age (capped at 20
+    epochs) relative to the corpus's latest event — exponential decay
+    with half-life = 28 days, computed ENTIRELY in integers (weight =
+    2^-k via bit shift), so the recency-weighted leaderboard is
+    bit-stable under any partitioning where float exp(-λ·age) would
+    accumulate order-dependent error.
+
+    Scale: the reference day is a 1-row broadcast; shift-and-sum is a
+    map-side expression feeding one combine-friendly integer groupBy
+    over user_id; the leaderboard is TakeOrderedAndProject. The decayed
+    sum also maintains INCREMENTALLY (ia-family): yesterday's scores
+    shift right at epoch boundaries and today's events add in — the
+    property float decay weights lose."""
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    w = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (dec2("value") * 100).cast("bigint").alias("cents"),
+        F.least(
+            F.floor(
+                F.datediff(F.col("ref_day"), F.to_date("ts")) / _DECAY_EPOCH_DAYS
+            ),
+            F.lit(_DECAY_MAX_SHIFT),
+        )
+        .cast("int")
+        .alias("k"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cents div shiftleft(cast(1 as bigint), k)")).alias(
+                "decayed_cents"
+            ),
+        )
+        .orderBy(F.desc("decayed_cents"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq03 — cross-vintage distribution drift
+# ---------------------------------------------------------------------------
+
+_BUCKET_CENTS = 5_000_000  # 50k-currency-unit fixed-width price buckets
+_N_BUCKETS = 10
+
+
+@query(
+    "dq03_vintage_drift",
+    f"""WITH b AS (
+          SELECT year(o_orderdate) AS yr,
+                 least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         // {_BUCKET_CENTS}, {_N_BUCKETS - 1}) AS bucket
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        ),
+        c AS (
+          SELECT bucket,
+                 CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+                 CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_1996
+          FROM b GROUP BY bucket
+        ),
+        t AS (SELECT CAST(SUM(n_1995) AS BIGINT) AS t95,
+                     CAST(SUM(n_1996) AS BIGINT) AS t96 FROM c)
+        SELECT bucket, n_1995, n_1996,
+               abs(n_1995 * t96 - n_1996 * t95) AS cross_l1_dev
+        FROM c CROSS JOIN t ORDER BY bucket""",
+)
+def dq03_vintage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between order vintages: 1995 vs 1996
+    order totals in ten fixed 50k-wide price buckets (exact cents, last
+    bucket open-ended), with per-bucket deviation measured
+    CROSS-MULTIPLIED — |n95·T96 − n96·T95| compares the two shares
+    without a single division, so the drift report is pure BIGINT (bound:
+    n·T ≤ 1.5e4·1.5e4 at sf0.1, far inside 2⁶³ through sf100). A data
+    contract alerts when any bucket's deviation exceeds a threshold —
+    the vintage-to-vintage schema/distribution check dq01's single-table
+    expectations and dq02's cross-table reconciliation don't cover.
+
+    Scale: one scan with the year predicate pushed to parquet, one
+    combine-friendly bucket aggregate (10 groups), a 1-row totals
+    broadcast. Histogram-vs-histogram comparison cost is O(buckets),
+    independent of corpus size."""
+    o = load(spark, sf_dir, "orders")
+    b = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.expr(
+                f"cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                f" div {_BUCKET_CENTS}"
+            ),
+            F.lit(_N_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum((F.col("yr") == 1995).cast("long")).alias("n_1995"),
+        F.sum((F.col("yr") == 1996).cast("long")).alias("n_1996"),
+    )
+    t = c.agg(
+        F.sum("n_1995").alias("t95"),
+        F.sum("n_1996").alias("t96"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_1995",
+            "n_1996",
+            F.abs(
+                F.col("n_1995") * F.col("t96") - F.col("n_1996") * F.col("t95")
+            ).alias("cross_l1_dev"),
+        )
+        .orderBy("bucket")
+    )
