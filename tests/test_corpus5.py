@@ -203,3 +203,23 @@ def test_vintage_drift_partitions_by_year(spark):
     assert sum(r["n_1996"] for r in rows) == n96
     for r in rows:
         assert r["cross_l1_dev"] == abs(r["n_1995"] * n96 - r["n_1996"] * n95)
+
+
+def test_pp02_composes_and_selects_target_like_docs(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus5 import (
+        dsir_doc_affinity,
+    )
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        pp02_llm_corpus_build,
+    )
+
+    rows = pp02_llm_corpus_build(spark, SF_DIR).collect()
+    assert rows  # the relative threshold must keep a nonempty corpus
+    n_sel = sum(r["n_docs"] for r in rows)
+    af = dsir_doc_affinity(spark, SF_DIR)
+    n_docs = af.count()
+    assert 0 < n_sel < n_docs  # a strict mean threshold selects a proper subset
+    # selected shards carry above-corpus-mean affinity by construction
+    gm = af.agg(F.expr("sum(aff) div count(*)").alias("m")).collect()[0]["m"]
+    for r in rows:
+        assert r["mean_aff_scaled"] > gm

@@ -160,52 +160,11 @@ _LM_SCALE = 1_000_000
 _LM_LANG = "en"
 
 
-@query(
-    "ta19_lm_quality_gate",
-    f"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-        bg AS (SELECT doc_id, lang, ws[i + 1] AS w1, ws[i + 2] AS w2
-               FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
-               WHERE len(ws) >= 2),
-        c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1, w2),
-        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1),
-        v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
-              FROM (SELECT unnest(ws) AS word FROM w WHERE lang = '{_LM_LANG}')),
-        p AS (SELECT b.doc_id, b.lang,
-                     ((COALESCE(c2.c2, 0) + 1) * {_LM_SCALE})
-                       // (COALESCE(c1.c1, 0) + v.v) AS p
-              FROM bg b
-              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-              LEFT JOIN c1 ON b.w1 = c1.w1
-              CROSS JOIN v),
-        d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                     CAST(SUM(p) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
-                       AS mean_condprob_scaled
-              FROM p GROUP BY doc_id, lang)
-        SELECT doc_id, lang, n_bigrams, mean_condprob_scaled,
-               CASE NTILE(3) OVER (ORDER BY mean_condprob_scaled DESC, doc_id)
-                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        FROM d""",
-)
-def ta19_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality gate (Wenzek et al. 2020): train a bigram
-    LM with add-one smoothing on the English slice, score EVERY document
-    by its mean scaled conditional probability p(w2|w1) =
-    (c(w1,w2)+1)/(c(w1·)+V), and split the corpus into head/middle/tail
-    terciles — the classic perplexity-bucket curriculum, with the mean
-    probability as the integer-exact monotone surrogate for mean log
-    probability (logs are libm-dependent across engines, see f05; the
-    tercile CUTS differ from true-perplexity cuts only where document
-    rankings differ, which the docstring accepts and records).
-
-    Scale: the "LM" is two count tables over the target slice — both
-    tiny relative to the corpus (vocab², vocab) and BROADCAST into the
-    scoring join, so scoring is map-side over the exploded bigram
-    stream; per-doc reduction is a combine-friendly integer groupBy.
-    NTILE over a global order is the one non-scalable step (exact
-    terciles need a total order) — production swaps approx_percentile
-    cutoffs computed in one pass, as ta15 does for its median gate."""
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM scores: (doc_id, lang, n_bigrams,
+    mean_condprob_scaled). Shared by ta19 (tercile gate) and pp02 (the
+    composed corpus build), so the two can never fork on LM
+    arithmetic."""
     w = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("ws")
     )
@@ -243,10 +202,63 @@ def ta19_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    d = p.groupBy("doc_id", "lang").agg(
+    return p.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"),
         F.expr("sum(p) div count(*)").alias("mean_condprob_scaled"),
     )
+
+
+# DuckDB twin of lm_doc_scores — the `d` CTE yields the same per-doc rows.
+_LM_DOC_CTES = f"""w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        bg AS (SELECT doc_id, lang, ws[i + 1] AS w1, ws[i + 2] AS w2
+               FROM w, UNNEST(range(0, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 2),
+        c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM bg WHERE lang = '{_LM_LANG}' GROUP BY w1),
+        v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+              FROM (SELECT unnest(ws) AS word FROM w WHERE lang = '{_LM_LANG}')),
+        p AS (SELECT b.doc_id, b.lang,
+                     ((COALESCE(c2.c2, 0) + 1) * {_LM_SCALE})
+                       // (COALESCE(c1.c1, 0) + v.v) AS p
+              FROM bg b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN c1 ON b.w1 = c1.w1
+              CROSS JOIN v),
+        d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(p) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS mean_condprob_scaled
+              FROM p GROUP BY doc_id, lang)"""
+
+
+@query(
+    "ta19_lm_quality_gate",
+    f"""WITH {_LM_DOC_CTES}
+        SELECT doc_id, lang, n_bigrams, mean_condprob_scaled,
+               CASE NTILE(3) OVER (ORDER BY mean_condprob_scaled DESC, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM d""",
+)
+def ta19_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020): train a bigram
+    LM with add-one smoothing on the English slice, score EVERY document
+    by its mean scaled conditional probability p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V), and split the corpus into head/middle/tail
+    terciles — the classic perplexity-bucket curriculum, with the mean
+    probability as the integer-exact monotone surrogate for mean log
+    probability (logs are libm-dependent across engines, see f05; the
+    tercile CUTS differ from true-perplexity cuts only where document
+    rankings differ, which the docstring accepts and records).
+
+    Scale: the "LM" is two count tables over the target slice — both
+    tiny relative to the corpus (vocab², vocab) and BROADCAST into the
+    scoring join, so scoring is map-side over the exploded bigram
+    stream; per-doc reduction is a combine-friendly integer groupBy.
+    NTILE over a global order is the one non-scalable step (exact
+    terciles need a total order) — production swaps approx_percentile
+    cutoffs computed in one pass, as ta15 does for its median gate."""
+    d = lm_doc_scores(spark, sf_dir)
     tercile = F.ntile(3).over(
         Window.orderBy(F.desc("mean_condprob_scaled"), F.asc("doc_id"))
     )
@@ -340,53 +352,31 @@ def sm08_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 1024
 _DSIR_SCALE = 1_000_000
 
-
-@query(
-    "sm09_dsir_affinity",
-    f"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+# DuckDB twin of dsir_doc_affinity — the `aff` CTE yields the per-doc rows.
+# CTE names are prefixed ds_ so the block composes with _LM_DOC_CTES in one
+# WITH (pp02).
+_DSIR_DOC_CTES = f"""ds_w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
                FROM documents),
-        b AS (SELECT doc_id, lang,
+        ds_b AS (SELECT doc_id, lang,
                      {sql_md5_prefix_long("word")} % {_DSIR_B} AS bucket
-              FROM w),
-        src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM b GROUP BY bucket),
-        tots AS (SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS ts,
-                        CAST((SELECT COUNT(*) FROM b WHERE lang = '{_LM_LANG}') AS BIGINT) AS tt),
-        tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
-                FROM b WHERE lang = '{_LM_LANG}' GROUP BY bucket),
-        r AS (SELECT s.bucket,
+              FROM ds_w),
+        ds_src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM ds_b GROUP BY bucket),
+        ds_tots AS (SELECT CAST((SELECT COUNT(*) FROM ds_b) AS BIGINT) AS ts,
+                        CAST((SELECT COUNT(*) FROM ds_b WHERE lang = '{_LM_LANG}') AS BIGINT) AS tt),
+        ds_tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM ds_b WHERE lang = '{_LM_LANG}' GROUP BY bucket),
+        ds_r AS (SELECT s.bucket,
                      ((COALESCE(t.ct, 0) + 1) * (o.ts + {_DSIR_B}) * {_DSIR_SCALE})
                        // ((s.cs + 1) * (o.tt + {_DSIR_B})) AS ratio
-              FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket CROSS JOIN tots o),
-        d AS (SELECT doc_id, lang,
+              FROM ds_src s LEFT JOIN ds_tgt t ON s.bucket = t.bucket CROSS JOIN ds_tots o),
+        aff AS (SELECT doc_id, lang,
                      CAST(SUM(ratio) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS aff
-              FROM b JOIN r ON b.bucket = r.bucket GROUP BY doc_id, lang)
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(aff) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
-                 AS mean_affinity_scaled,
-               MIN(aff) AS min_affinity_scaled,
-               MAX(aff) AS max_affinity_scaled
-        FROM d GROUP BY lang ORDER BY lang""",
-)
-def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): hash every unigram into
-    one of B buckets, estimate target (English slice) vs source (whole
-    corpus) bucket frequencies with add-one smoothing, and score each
-    document by its mean scaled frequency RATIO — the integer-exact
-    monotone stand-in for the mean log-likelihood ratio (logs are
-    libm-dependent across engines, f05; ratio-mean and log-ratio-mean
-    rank differently in general, which this operator documents and
-    accepts — the point is the hashed-feature estimation pipeline).
-    Reported per language: English lands highest by construction, and
-    the gap to other languages measures the selector's discrimination.
+              FROM ds_b JOIN ds_r ON ds_b.bucket = ds_r.bucket GROUP BY doc_id, lang)"""
 
-    Scale: the feature table is B=1024 rows regardless of corpus size —
-    built by one combine-friendly count shuffle, then BROADCAST into the
-    word stream so per-doc scoring is map-side + one integer groupBy.
-    Products are bounded by (tot_t+B)·(tot_s+B)·SCALE ≈ 4e16 at sf0.1,
-    inside BIGINT through sf1 (≈4e18); larger corpora shrink SCALE.
-    This is exactly how DSIR runs over a full CommonCrawl: two passes,
-    no driver state beyond the 1024-row table."""
+
+def dsir_doc_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR affinity: (doc_id, lang, aff). Shared by sm09 (the
+    per-language report) and pp02 (the composed corpus build)."""
     w = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     )
@@ -414,11 +404,45 @@ def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
     )
-    d = (
+    return (
         b.join(F.broadcast(r), "bucket")
         .groupBy("doc_id", "lang")
         .agg(F.expr("sum(ratio) div count(*)").alias("aff"))
     )
+
+
+@query(
+    "sm09_dsir_affinity",
+    f"""WITH {_DSIR_DOC_CTES},
+        d AS (SELECT * FROM aff)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(aff) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                 AS mean_affinity_scaled,
+               MIN(aff) AS min_affinity_scaled,
+               MAX(aff) AS max_affinity_scaled
+        FROM d GROUP BY lang ORDER BY lang""",
+)
+def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every unigram into
+    one of B buckets, estimate target (English slice) vs source (whole
+    corpus) bucket frequencies with add-one smoothing, and score each
+    document by its mean scaled frequency RATIO — the integer-exact
+    monotone stand-in for the mean log-likelihood ratio (logs are
+    libm-dependent across engines, f05; ratio-mean and log-ratio-mean
+    rank differently in general, which this operator documents and
+    accepts — the point is the hashed-feature estimation pipeline).
+    Reported per language: English lands highest by construction, and
+    the gap to other languages measures the selector's discrimination.
+
+    Scale: the feature table is B=1024 rows regardless of corpus size —
+    built by one combine-friendly count shuffle, then BROADCAST into the
+    word stream so per-doc scoring is map-side + one integer groupBy.
+    Products are bounded by (tot_t+B)·(tot_s+B)·SCALE ≈ 4e16 at sf0.1,
+    inside BIGINT through sf1 (≈4e18); larger corpora shrink SCALE.
+    This is exactly how DSIR runs over a full CommonCrawl: two passes,
+    no driver state beyond the 1024-row table."""
+    d = dsir_doc_affinity(spark, sf_dir)
     return (
         d.groupBy("lang")
         .agg(
@@ -438,43 +462,26 @@ def sm09_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN = 20  # window length (chars)
 _STRIDE = 10
 
-
-@query(
-    "dd20_char_window_dup_mass",
-    f"""WITH wpos AS (
+# DuckDB twin of dup_mass_per_doc — the `dm` CTE yields the per-doc rows.
+_DUP_MASS_CTES = f"""wpos AS (
           SELECT doc_id, substring(text, p, {_WIN}) AS w
           FROM documents, UNNEST(range(1, len(text) - {_WIN - 2}, {_STRIDE})) AS t(p)
           WHERE len(text) >= {_WIN}),
         dw AS (SELECT DISTINCT doc_id, w FROM wpos),
         fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w),
-        j AS (SELECT wpos.doc_id, fr.c FROM wpos JOIN fr ON wpos.w = fr.w)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        j AS (SELECT wpos.doc_id, fr.c FROM wpos JOIN fr ON wpos.w = fr.w),
+        dm AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
                CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_dup_windows,
                (CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
                  // CAST(COUNT(*) AS BIGINT) AS dup_mass_permille
-        FROM j GROUP BY doc_id""",
-)
-def dd20_char_window_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level duplicate-mass scoring, the streaming-friendly
-    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better"): slide a
-    20-char window at stride 10 over every document, call a window
-    duplicated when it occurs in ≥2 DISTINCT documents, and report per
-    doc the fraction of its windows that are duplicated (integer
-    permille). Complements the word-level families: dd09 finds the top
-    shared n-grams, ta14 measures within-corpus n-gram repetition — this
-    measures each document's cross-document copied MASS at character
-    granularity, the signal ExactSubstr thresholds to cut boilerplate.
+          FROM j GROUP BY doc_id)"""
 
-    Scale: windowing is a map-side Generate (positions arithmetic, no
-    Python); the window-frequency table is one combine-friendly count
-    shuffle keyed by the 20-char window (uniformly-hashed keys — no skew
-    hazard beyond hot boilerplate, which is precisely the signal); the
-    join back is window-keyed and AQE-coalesced; the per-doc rollup is
-    an integer groupBy. Production drops the window STRINGS for 8-byte
-    hashes before the shuffle (same keys, 2.5× narrower rows) — here the
-    strings keep the oracle twin byte-exact."""
+
+def dup_mass_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char-window duplicate mass: (doc_id, n_windows,
+    n_dup_windows, dup_mass_permille). Shared by dd20 and pp02."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     wpos = (
         d.filter(F.length("text") >= _WIN)
@@ -503,6 +510,34 @@ def dd20_char_window_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_mass_permille"
         ),
     )
+
+
+@query(
+    "dd20_char_window_dup_mass",
+    f"""WITH {_DUP_MASS_CTES}
+        SELECT doc_id, n_windows, n_dup_windows, dup_mass_permille FROM dm""",
+)
+def dd20_char_window_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplicate-mass scoring, the streaming-friendly
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    20-char window at stride 10 over every document, call a window
+    duplicated when it occurs in ≥2 DISTINCT documents, and report per
+    doc the fraction of its windows that are duplicated (integer
+    permille). Complements the word-level families: dd09 finds the top
+    shared n-grams, ta14 measures within-corpus n-gram repetition — this
+    measures each document's cross-document copied MASS at character
+    granularity, the signal ExactSubstr thresholds to cut boilerplate.
+
+    Scale: windowing is a map-side Generate (positions arithmetic, no
+    Python); the window-frequency table is one combine-friendly count
+    shuffle keyed by the 20-char window (uniformly-hashed keys — no skew
+    hazard beyond hot boilerplate, which is precisely the signal); the
+    join back is window-keyed and AQE-coalesced; the per-doc rollup is
+    an integer groupBy. Production drops the window STRINGS for 8-byte
+    hashes before the shuffle (same keys, 2.5× narrower rows) — here the
+    strings keep the oracle twin byte-exact."""
+    return dup_mass_per_doc(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

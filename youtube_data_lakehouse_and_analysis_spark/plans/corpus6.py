@@ -280,3 +280,121 @@ def dq03_vintage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# pp02 — the LLM-corpus build, composed from the batch-5 operators
+# ---------------------------------------------------------------------------
+
+_PP2_MAX_DUP = 500  # drop docs with > 50% duplicated char-window mass
+_PP2_SHARDS = 16
+_PP2_EPOCH = 7
+
+
+def _pp02_sql() -> str:
+    from ..functions.text import sql_md5_prefix_long
+    from .corpus5 import (
+        _DSIR_DOC_CTES,
+        _DSIR_SCALE,
+        _DUP_MASS_CTES,
+        _LM_DOC_CTES,
+    )
+
+    shard = (
+        sql_md5_prefix_long(f"'{_PP2_EPOCH}|' || CAST(doc_id AS VARCHAR)")
+        + f" % {_PP2_SHARDS}"
+    )
+    return f"""WITH {_LM_DOC_CTES},
+        {_DSIR_DOC_CTES},
+        {_DUP_MASS_CTES},
+        gm AS (SELECT CAST(SUM(aff) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                 AS corpus_mean_aff FROM aff),
+        sel AS (
+          SELECT d.doc_id, doc.n_chars, d.mean_condprob_scaled, aff.aff
+          FROM d
+          JOIN aff ON d.doc_id = aff.doc_id
+          JOIN dm ON d.doc_id = dm.doc_id
+          JOIN documents doc ON d.doc_id = doc.doc_id
+          CROSS JOIN gm
+          WHERE aff.aff > gm.corpus_mean_aff
+            AND dm.dup_mass_permille <= {_PP2_MAX_DUP}),
+        sh AS (SELECT *, {shard} AS shard FROM sel)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(mean_condprob_scaled) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS mean_lm_scaled,
+               CAST(SUM(aff) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                 AS mean_aff_scaled
+        FROM sh GROUP BY shard ORDER BY shard"""
+
+
+@query("pp02_llm_corpus_build", _pp02_sql())
+def pp02_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern LLM-corpus build as ONE composed dataflow — pp01's
+    classic pipeline (gate → dedup → decontaminate → cap → split)
+    upgraded to the batch-5 model-based operators in their production
+    order:
+
+      1. LM quality score   (bigram-LM mean conditional probability —
+                             ta19's scorer, via the SHARED lm_doc_scores)
+      2. DSIR selection     (keep docs STRICTLY more target-like than
+                             the corpus-mean affinity — a relative
+                             threshold, robust to the smoothing bias
+                             that drags all absolute affinities below
+                             SCALE; sm09's scorer)
+      3. dup-mass filter    (drop docs with > 50% duplicated char-window
+                             mass; dd20's scorer)
+      4. epoch shard layout (sm08's keyed-hash sharding) with per-shard
+                             quality metadata (mean LM / affinity scores)
+
+    Every stage reuses the exact helper the standalone query registers —
+    lm_doc_scores / dsir_doc_affinity / dup_mass_per_doc — so the
+    composed build can never fork from the operators it composes (the
+    same discipline as dd21 vs dd03/dd04).
+
+    Scale: the three scorers are each one-to-two combine-friendly
+    shuffles with broadcast feature tables (their own docstrings); the
+    composition joins them on doc_id — co-partitioned after their
+    per-doc groupBys, which AQE exploits — then one map-side hash shard
+    assignment and a 16-group rollup. Catalyst sees ONE plan: the
+    documents scan is shared across scorers via the exchange reuse the
+    plan gate asserts for pp01."""
+    from .corpus5 import (
+        dsir_doc_affinity,
+        dup_mass_per_doc,
+        lm_doc_scores,
+    )
+    from ..functions.text import md5_prefix_long
+
+    lm = lm_doc_scores(spark, sf_dir).select("doc_id", "mean_condprob_scaled")
+    af = dsir_doc_affinity(spark, sf_dir).select("doc_id", "aff")
+    gm = af.agg(F.expr("sum(aff) div count(*)").alias("corpus_mean_aff"))
+    dm = dup_mass_per_doc(spark, sf_dir).select("doc_id", "dup_mass_permille")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sel = (
+        lm.join(af, "doc_id")
+        .join(dm, "doc_id")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(gm))
+        .filter(
+            (F.col("aff") > F.col("corpus_mean_aff"))
+            & (F.col("dup_mass_permille") <= _PP2_MAX_DUP)
+        )
+    )
+    sh = sel.withColumn(
+        "shard",
+        md5_prefix_long(
+            F.concat(F.lit(f"{_PP2_EPOCH}|"), F.col("doc_id").cast("string"))
+        )
+        % _PP2_SHARDS,
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("sum(mean_condprob_scaled) div count(*)").alias("mean_lm_scaled"),
+            F.expr("sum(aff) div count(*)").alias("mean_aff_scaled"),
+        )
+        .orderBy("shard")
+    )
