@@ -638,3 +638,15 @@ def test_gr03_edge_list_computed_once(spark):
     # consumer branch; only ExistingRDD scans remain
     assert plan.count("Scan ExistingRDD") >= 3
     assert "Scan parquet" not in plan
+
+
+def test_dd21_pp02_checkpointed_legs(spark):
+    """dd21/pp02: the multiply-consumed legs (truth/cand pair sets, the
+    affinity table) must be checkpoint-fed, not recomputed per count
+    branch — without it dd21's plan held 27 exchanges and pp02's 33."""
+    p1 = plan_of(spark, "dd21_lsh_band_eval")
+    assert "Scan ExistingRDD" in p1
+    assert p1.count("Exchange") <= 10
+    p2 = plan_of(spark, "pp02_llm_corpus_build")
+    assert "Scan ExistingRDD" in p2
+    assert p2.count("Exchange") <= 22

@@ -184,7 +184,9 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     en = bg.filter(F.col("lang") == _LM_LANG)
     c2 = en.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = en.groupBy("w1").agg(F.count("*").alias("c1"))
+    # context counts derive from the (tiny) bigram table — identical to
+    # counting the en stream again, one less pass over the corpus
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = (
         w.filter(F.col("lang") == _LM_LANG)
         .select(F.explode("ws").alias("word"))

@@ -104,6 +104,11 @@ def dd21_lsh_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
+    # Both legs feed multiple count branches (their own total + the
+    # intersection); checkpoint them so the shingle self-join and the
+    # banding pipeline each run ONCE — same discipline as gr03's edge
+    # list (at 100 TB these are the materialized pair sets any eval
+    # would persist before scoring).
     truth = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -112,10 +117,11 @@ def dd21_lsh_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _J_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     cand = D.lsh_candidate_pairs(
         D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
-    )
+    ).localCheckpoint(eager=False)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     nt = truth.agg(F.count("*").alias("n_truth"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
@@ -367,7 +373,14 @@ def pp02_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_prefix_long
 
     lm = lm_doc_scores(spark, sf_dir).select("doc_id", "mean_condprob_scaled")
-    af = dsir_doc_affinity(spark, sf_dir).select("doc_id", "aff")
+    # the affinity table feeds BOTH the corpus-mean threshold and the
+    # selection join; checkpoint it so the hashed-feature pipeline runs
+    # once (gr03/dd21 discipline)
+    af = (
+        dsir_doc_affinity(spark, sf_dir)
+        .select("doc_id", "aff")
+        .localCheckpoint(eager=False)
+    )
     gm = af.agg(F.expr("sum(aff) div count(*)").alias("corpus_mean_aff"))
     dm = dup_mass_per_doc(spark, sf_dir).select("doc_id", "dup_mass_permille")
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
