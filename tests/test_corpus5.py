@@ -223,3 +223,25 @@ def test_pp02_composes_and_selects_target_like_docs(spark):
     gm = af.agg(F.expr("sum(aff) div count(*)").alias("m")).collect()[0]["m"]
     for r in rows:
         assert r["mean_aff_scaled"] > gm
+
+
+def test_ivfpq_cell_locality_and_order(spark):
+    """sim12: every returned candidate must live in the query's assigned
+    cell, and per-query ranks must follow ADC distance."""
+    from youtube_data_lakehouse_and_analysis_spark.plans.similarity import (
+        sim12_ivfpq_topk,
+    )
+
+    rows = sim12_ivfpq_topk(spark, SF_DIR).collect()
+    assert rows
+    emb = {r["vec_id"]: r["label"] for r in load(spark, SF_DIR, "embeddings").collect()}
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        # all candidates share one cell (the probed one)
+        labels = {emb[r["cand_id"]] for r in rs}
+        assert len(labels) == 1

@@ -650,3 +650,11 @@ def test_dd21_pp02_checkpointed_legs(spark):
     p2 = plan_of(spark, "pp02_llm_corpus_build")
     assert "Scan ExistingRDD" in p2
     assert p2.count("Exchange") <= 22
+
+
+def test_sim12_broadcast_only_joins(spark):
+    """IVF-PQ (sim12): codebook/lookup/mean tables are broadcast-sized;
+    no fact-sized sort-merge join may appear."""
+    plan = plan_of(spark, "sim12_ivfpq_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

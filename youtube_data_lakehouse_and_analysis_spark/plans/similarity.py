@@ -765,3 +765,228 @@ def sim11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "adc_dist", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim12 — IVF-PQ: coarse cells + residual product quantization
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SQL = f"""WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    cpos AS (
+      SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+    cmean AS (
+      SELECT label, list(s // n ORDER BY i) AS mv, list(s ORDER BY i) AS cv
+      FROM cpos GROUP BY label),
+    resid AS (
+      SELECT vec_id, b.label,
+             list_transform(range(1, 65), i -> qv[i] - mv[i]) AS rv
+      FROM base b JOIN cmean ON b.label = cmean.label),
+    cb AS (
+      SELECT rv, rn - 1 AS cid FROM (
+        SELECT rv, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM resid) t
+      WHERE rn <= {_PQ_K}),
+    csub AS (
+      SELECT cid, m, list_slice(rv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM cb, UNNEST(range(0, {_PQ_M})) AS t(m)),
+    rsub AS (
+      SELECT vec_id, label, m,
+             list_slice(rv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM resid, UNNEST(range(0, {_PQ_M})) AS t(m)),
+    edist AS (
+      SELECT r.vec_id, r.label, r.m, c.cid,
+             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                  i -> (r.sub[i] - c.sub[i]) * (r.sub[i] - c.sub[i]))) AS BIGINT) AS d
+      FROM rsub r JOIN csub c ON r.m = c.m),
+    enc AS (
+      SELECT vec_id, label, m, cid AS code FROM (
+        SELECT vec_id, label, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        FROM edist) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT query_id, qv, cmean.label, mv,
+             CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS DOUBLE))) AS ccos
+      FROM q CROSS JOIN cmean),
+    assigned AS (
+      SELECT query_id, label, qv, mv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+        FROM probe) t WHERE rn = 1),
+    qrsub AS (
+      SELECT query_id, label AS qlabel, m AS qm,
+             list_slice(list_transform(range(1, 65), i -> qv[i] - mv[i]),
+                        m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM assigned, UNNEST(range(0, {_PQ_M})) AS t(m)),
+    qdist AS (
+      SELECT r.query_id, r.qlabel, r.qm, c.cid AS qcid,
+             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                  i -> (r.sub[i] - c.sub[i]) * (r.sub[i] - c.sub[i]))) AS BIGINT) AS d
+      FROM qrsub r JOIN csub c ON r.qm = c.m),
+    adc AS (
+      SELECT qd.query_id, en.vec_id AS cand_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM enc en JOIN qdist qd
+        ON en.label = qd.qlabel AND en.m = qd.qm AND en.code = qd.qcid
+      GROUP BY qd.query_id, en.vec_id)
+    SELECT query_id, cand_id, adc_dist, rn FROM (
+      SELECT query_id, cand_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+      FROM adc WHERE query_id <> cand_id) t
+    WHERE rn <= 3"""
+
+
+@query("sim12_ivfpq_topk", _IVFPQ_SQL)
+def sim12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS production index shape, composed from the
+    catalog's two ANN halves: sim04's coarse inverted-file cells (label
+    centroids; cosine assignment is scale-invariant, so the integer SUM
+    centroid works unchanged) plus sim11's product quantization applied
+    to the RESIDUAL (vector minus its cell mean) — residual PQ is what
+    makes the 12-bit codes accurate enough to rank within a cell. A
+    query probes its nearest cell only and ranks that cell's members by
+    asymmetric distance over their stored codes.
+
+    Integer exactness: cell means use truncating integer division —
+    verified identical in Spark (`div`) and DuckDB (`//`) including
+    negatives (both truncate toward zero) — residuals, codebook
+    distances, and ADC sums are all BIGINT, ties break by cand_id.
+
+    Scale: the candidate scan touches ONE cell's codes (|C|/cells rows ×
+    12 bits each — both the IVF pruning and the PQ compression
+    multiply); the codebook, cell means, and per-query lookup tables are
+    all broadcast-sized. This is the index layout a 100 TB vector store
+    actually ships: coarse cells for pruning, residual codes for memory,
+    exact rerank (sim04's inner loop) as the optional final stage."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", S.quantize("embedding").alias("qv"))
+    cpos = (
+        base.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .withColumn("m", F.expr("s div n"))
+    )
+    cmean = cpos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda t: t["m"]
+        ).alias("mv"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda t: t["s"]
+        ).alias("cv"),
+    )
+    resid = (
+        base.join(F.broadcast(cmean.select("label", "mv")), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with("qv", "mv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    cb = (
+        resid.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(_PQ_K)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.asc("h"), F.asc("vec_id")))
+        )
+        .select((F.col("rn") - 1).alias("cid"), F.col("rv").alias("crv"))
+    )
+    csub = cb.select(
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        "crv",
+    ).select(
+        "cid", "m", F.expr(f"slice(crv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("csub")
+    )
+    rsub = resid.select(
+        "vec_id",
+        "label",
+        "rv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.expr(f"slice(rv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
+    )
+    edist = rsub.join(F.broadcast(csub), "m").select(
+        "vec_id",
+        "label",
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    enc = (
+        edist.groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct("d", "cid")).alias("mn"))
+        .select("vec_id", "label", "m", F.col("mn.cid").alias("code"))
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    probe = q.crossJoin(F.broadcast(cmean)).withColumn(
+        "ccos",
+        S.cosine_from_ints(
+            S.int_dot(F.col("q_qv"), F.col("cv")),
+            S.int_norm_sq(F.col("q_qv")),
+            S.int_norm_sq(F.col("cv")),
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    assigned = (
+        probe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("qlabel"),
+            F.zip_with("q_qv", "mv", lambda x, y: x - y).alias("q_rv"),
+        )
+    )
+    qrsub = assigned.select(
+        "query_id",
+        "qlabel",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm"),
+        "q_rv",
+    ).select(
+        "query_id",
+        "qlabel",
+        "qm",
+        F.expr(f"slice(q_rv, qm * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("qsub"),
+    )
+    qdist = qrsub.join(F.broadcast(csub), qrsub["qm"] == csub["m"]).select(
+        "query_id",
+        "qlabel",
+        "qm",
+        F.col("cid").alias("qcid"),
+        F.aggregate(
+            F.zip_with("qsub", "csub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qdist),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "adc_dist", "rn")
+    )
