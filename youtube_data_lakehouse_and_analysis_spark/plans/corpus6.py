@@ -301,7 +301,6 @@ def _pp02_sql() -> str:
     from ..functions.text import sql_md5_prefix_long
     from .corpus5 import (
         _DSIR_DOC_CTES,
-        _DSIR_SCALE,
         _DUP_MASS_CTES,
         _LM_DOC_CTES,
     )
