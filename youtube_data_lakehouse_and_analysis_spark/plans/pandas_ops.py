@@ -184,15 +184,23 @@ def pd03_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _norm_batches(batches):
     """mapInArrow worker: per-batch vectorized L1 norm + argmax dim of the
     quantized vector. Quantization matches the engines' round() (half away
-    from zero) — numpy's rint would bankers-round and fork the grid."""
+    from zero): numpy's rint would bankers-round, and the naive
+    floor(x + 0.5) drifts one step high when x sits within half an ulp
+    below a .5 boundary (the + 0.5 addition rounds up before floor) — so
+    the half test compares the EXACT fractional part instead, which for
+    x < 2^52 is computed without rounding error."""
     import numpy as np
     import pyarrow as pa
 
     for batch in batches:
         tbl = pa.Table.from_batches([batch])
-        vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-        q = np.sign(vecs) * np.floor(np.abs(vecs) * 1000.0 + 0.5)
-        a = np.abs(q.astype(np.int64))
+        col = tbl.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        vecs = flat.reshape(len(col), -1)  # no per-element Python boxing
+        mag = np.abs(vecs) * 1000.0
+        fl = np.floor(mag)
+        q = fl + (mag - fl >= 0.5)  # exact half-away-from-zero on |x|
+        a = q.astype(np.int64)
         yield pa.RecordBatch.from_pydict(
             {
                 "vec_id": tbl.column("vec_id").combine_chunks(),

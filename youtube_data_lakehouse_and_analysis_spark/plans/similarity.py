@@ -638,6 +638,38 @@ _PQ_M = 4  # subspaces (16 dims each over the 64-dim vectors)
 _PQ_K = 8  # centroids per subspace codebook
 _PQ_SUBDIM = _DIMS // _PQ_M
 
+
+# Shared PQ machinery — sim11 (flat PQ) and sim12 (IVF-PQ on residuals)
+# use the SAME subspace slicing and squared-distance forms on both the
+# Spark side and the SQL twin, so PQ semantics (slice bounds, integer
+# distance, argmin tie-break) cannot fork between the two indexes.
+
+def _sql_pq_slice(col: str) -> str:
+    """DuckDB: subvector of `col` for subspace `m` (1-based inclusive)."""
+    return f"list_slice({col}, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM})"
+
+
+def _sql_pq_sqdist(a: str, b: str) -> str:
+    """DuckDB: exact integer squared L2 over one subspace."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _pq_slice(col: str, mcol: str = "m"):
+    """Spark twin of _sql_pq_slice."""
+    return F.expr(f"slice({col}, {mcol} * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+
+
+def _pq_sqdist(a: str, b: str):
+    """Spark twin of _sql_pq_sqdist: exact integer squared L2."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
 _PQ_SQL = f"""WITH base AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -648,15 +680,14 @@ _PQ_SQL = f"""WITH base AS (
         FROM base) t
       WHERE rn <= {_PQ_K}),
     subq AS (
-      SELECT vec_id, m, list_slice(qv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      SELECT vec_id, m, {_sql_pq_slice('qv')} AS sub
       FROM base, UNNEST(range(0, {_PQ_M})) AS t(m)),
     csub AS (
-      SELECT cid, m, list_slice(qv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      SELECT cid, m, {_sql_pq_slice('qv')} AS sub
       FROM cents, UNNEST(range(0, {_PQ_M})) AS t(m)),
     edist AS (
       SELECT s.vec_id, s.m, c.cid,
-             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-                  i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i]))) AS BIGINT) AS d
+             {_sql_pq_sqdist('s.sub', 'c.sub')} AS d
       FROM subq s JOIN csub c ON s.m = c.m),
     enc AS (
       SELECT vec_id, m, cid AS code FROM (
@@ -715,14 +746,14 @@ def sim11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qv",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
     ).select(
-        "vec_id", "m", F.expr(f"slice(qv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub")
+        "vec_id", "m", _pq_slice("qv").alias("sub")
     )
     csub = cents.select(
         "cid",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
         F.col("cqv"),
     ).select(
-        "cid", "m", F.expr(f"slice(cqv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("csub")
+        "cid", "m", _pq_slice("cqv").alias("csub")
     )
     edist = (
         sub.join(F.broadcast(csub), "m")
@@ -730,11 +761,7 @@ def sim11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "m",
             "cid",
-            F.aggregate(
-                F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
+            _pq_sqdist("sub", "csub").alias("d"),
         )
     )
     enc = (
@@ -791,16 +818,15 @@ _IVFPQ_SQL = f"""WITH base AS (
         FROM resid) t
       WHERE rn <= {_PQ_K}),
     csub AS (
-      SELECT cid, m, list_slice(rv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      SELECT cid, m, {_sql_pq_slice('rv')} AS sub
       FROM cb, UNNEST(range(0, {_PQ_M})) AS t(m)),
     rsub AS (
       SELECT vec_id, label, m,
-             list_slice(rv, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+             {_sql_pq_slice('rv')} AS sub
       FROM resid, UNNEST(range(0, {_PQ_M})) AS t(m)),
     edist AS (
       SELECT r.vec_id, r.label, r.m, c.cid,
-             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-                  i -> (r.sub[i] - c.sub[i]) * (r.sub[i] - c.sub[i]))) AS BIGINT) AS d
+             {_sql_pq_sqdist('r.sub', 'c.sub')} AS d
       FROM rsub r JOIN csub c ON r.m = c.m),
     enc AS (
       SELECT vec_id, label, m, cid AS code FROM (
@@ -821,13 +847,11 @@ _IVFPQ_SQL = f"""WITH base AS (
         FROM probe) t WHERE rn = 1),
     qrsub AS (
       SELECT query_id, label AS qlabel, m AS qm,
-             list_slice(list_transform(range(1, 65), i -> qv[i] - mv[i]),
-                        m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+             {_sql_pq_slice('list_transform(range(1, 65), i -> qv[i] - mv[i])')} AS sub
       FROM assigned, UNNEST(range(0, {_PQ_M})) AS t(m)),
     qdist AS (
       SELECT r.query_id, r.qlabel, r.qm, c.cid AS qcid,
-             CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-                  i -> (r.sub[i] - c.sub[i]) * (r.sub[i] - c.sub[i]))) AS BIGINT) AS d
+             {_sql_pq_sqdist('r.sub', 'c.sub')} AS d
       FROM qrsub r JOIN csub c ON r.qm = c.m),
     adc AS (
       SELECT qd.query_id, en.vec_id AS cand_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
@@ -901,7 +925,7 @@ def sim12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
         "crv",
     ).select(
-        "cid", "m", F.expr(f"slice(crv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("csub")
+        "cid", "m", _pq_slice("crv").alias("csub")
     )
     rsub = resid.select(
         "vec_id",
@@ -912,18 +936,14 @@ def sim12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "m",
-        F.expr(f"slice(rv, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
+        _pq_slice("rv").alias("sub"),
     )
     edist = rsub.join(F.broadcast(csub), "m").select(
         "vec_id",
         "label",
         "m",
         "cid",
-        F.aggregate(
-            F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("d"),
+        _pq_sqdist("sub", "csub").alias("d"),
     )
     enc = (
         edist.groupBy("vec_id", "label", "m")
@@ -960,18 +980,14 @@ def sim12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "qlabel",
         "qm",
-        F.expr(f"slice(q_rv, qm * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("qsub"),
+        _pq_slice("q_rv", "qm").alias("qsub"),
     )
     qdist = qrsub.join(F.broadcast(csub), qrsub["qm"] == csub["m"]).select(
         "query_id",
         "qlabel",
         "qm",
         F.col("cid").alias("qcid"),
-        F.aggregate(
-            F.zip_with("qsub", "csub", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("d"),
+        _pq_sqdist("qsub", "csub").alias("d"),
     )
     adc = (
         enc.join(
