@@ -222,3 +222,78 @@ def test_packing_arithmetic_reference(spark, tok_counts, ctx):
     ).collect()[0]["chunks"]
     want = sum(-(-n // ctx) for n in tok_counts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-6 integer-exact helper properties (no Spark needed — these pin
+# cross-engine arithmetic contracts against DuckDB directly)
+# ---------------------------------------------------------------------------
+
+
+@given(xs=st.lists(st.floats(min_value=-8.0, max_value=8.0, width=32), min_size=1, max_size=16))
+@SET
+def test_pd04_python_quantization_matches_duckdb_round(xs):
+    """pd04's worker quantizes with an exact fractional-part test; it
+    must agree with DuckDB's round(x*1000) (the oracle twin's grid) for
+    arbitrary float32 inputs, including representation-boundary values —
+    the bug class the naive floor(x+0.5) has."""
+    import duckdb
+    import numpy as np
+
+    v = np.array(xs, dtype=np.float32).astype(np.float64)
+    mag = np.abs(v) * 1000.0
+    fl = np.floor(mag)
+    q = (fl + (mag - fl >= 0.5)).astype(np.int64) * np.where(v < 0, -1, 1)
+    con = duckdb.connect()
+    got = [
+        con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE) * 1000) AS BIGINT)", [float(x)]
+        ).fetchone()[0]
+        for x in v
+    ]
+    assert list(q) == got, (list(q), got)
+
+
+@given(
+    cents=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20),
+    ks=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=20),
+)
+@SET
+def test_time_decay_shift_reference(cents, ks):
+    """ev14's bit-shift decay: each term equals floor(cents / 2^k), the
+    total never exceeds the raw sum, and decaying by a LARGER k never
+    increases a term (monotone decay)."""
+    n = min(len(cents), len(ks))
+    terms = [c >> k for c, k in zip(cents[:n], ks[:n])]
+    assert all(t == c // (2**k) for t, c, k in zip(terms, cents, ks))
+    assert sum(terms) <= sum(cents[:n])
+    assert all((c >> min(k + 1, 63)) <= (c >> k) for c, k in zip(cents[:n], ks[:n]))
+
+
+@given(
+    tf=st.integers(min_value=1, max_value=50),
+    dl=st.integers(min_value=1, max_value=500),
+    n=st.integers(min_value=2, max_value=5000),
+    tl=st.integers(min_value=500, max_value=300_000),
+    df=st.integers(min_value=1, max_value=100),
+)
+@SET
+def test_bm25_term_score_monotonicity_and_bounds(tf, dl, n, tl, df):
+    """ir02's rational BM25 term score: positive for tf >= 1, increases
+    (weakly) with tf, decreases (weakly) with df, and never overflows
+    int64 at the documented scales."""
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus5 import _BM25_SCALE
+
+    df = min(df, n - 1)
+
+    def score(tf_, df_):
+        idf = ((n - df_ + 1) * _BM25_SCALE) // (df_ + 1)
+        num = 22 * tf_ * tl
+        den = 10 * tf_ * tl + 3 * tl + 9 * dl * n
+        assert idf * num < 2**63
+        return (idf * num) // den
+
+    s = score(tf, df)
+    assert s > 0
+    assert score(tf + 1, df) >= s
+    assert score(tf, min(df + 1, n - 1)) <= s
