@@ -245,3 +245,14 @@ def test_ivfpq_cell_locality_and_order(spark):
         # all candidates share one cell (the probed one)
         labels = {emb[r["cand_id"]] for r in rs}
         assert len(labels) == 1
+
+
+def test_pq_recall_eval_bounds(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.similarity import (
+        sim13_pq_recall,
+    )
+
+    r = sim13_pq_recall(spark, SF_DIR).collect()[0]
+    assert r["n_possible"] == 3 * r["n_queries"] and r["n_queries"] > 0
+    assert 0 <= r["n_hits"] <= r["n_possible"]
+    assert 0.0 <= r["recall_at_3"] <= 1.0

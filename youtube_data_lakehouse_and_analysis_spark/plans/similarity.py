@@ -516,13 +516,9 @@ def _sql_recall_eval(approx_ctes: str) -> str:
         {_RECALL_ROLLUP_SQL}"""
 
 
-def _recall_eval(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
-    """Spark twin of _sql_recall_eval: exact top-3 via the brute-force
-    baseline, approx top-3 from approx_fn(emb, pred), shared rollup."""
-    emb = load(spark, sf_dir, "embeddings")
-    pred = F.col("vec_id") % 50 == 0
-    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
-    approx = approx_fn(emb, pred).select("query_id", "cand_id")
+def _recall_rollup(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared per-query hit rollup (Spark twin of _RECALL_ROLLUP_SQL):
+    one definition of the eval arithmetic for sim09/sim10/sim13."""
     hits = (
         exact.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
@@ -541,6 +537,16 @@ def _recall_eval(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
         (F.sum("n_hit").cast("double") / (F.lit(3) * F.count("*"))).alias("recall_at_3"),
         F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0)).alias("n_perfect_queries"),
     )
+
+
+def _recall_eval(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Spark twin of _sql_recall_eval: exact top-3 via the brute-force
+    baseline, approx top-3 from approx_fn(emb, pred), shared rollup."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = S.brute_force_topk(emb, pred, k=3).select("query_id", "cand_id")
+    approx = approx_fn(emb, pred).select("query_id", "cand_id")
+    return _recall_rollup(exact, approx)
 
 
 _SINGLE_PROBE_APPROX = f"""bucketed AS (SELECT vec_id, qv, nsq, {_sql_bucket_expr()} AS bucket FROM withnorm),
@@ -670,7 +676,7 @@ def _pq_sqdist(a: str, b: str):
         lambda acc, x: acc + x,
     )
 
-_PQ_SQL = f"""WITH base AS (
+_PQ_CTES = f"""base AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
@@ -699,7 +705,9 @@ _PQ_SQL = f"""WITH base AS (
     adc AS (
       SELECT dt.query_id, en.vec_id AS cand_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
       FROM enc en JOIN dt ON en.m = dt.m AND en.code = dt.cid
-      GROUP BY dt.query_id, en.vec_id)
+      GROUP BY dt.query_id, en.vec_id)"""
+
+_PQ_SQL = f"""WITH {_PQ_CTES}
     SELECT query_id, cand_id, adc_dist, rn FROM (
       SELECT query_id, cand_id, adc_dist,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
@@ -1006,3 +1014,77 @@ def sim12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "cand_id", "adc_dist", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim13 — PQ quantization-loss recall eval
+# ---------------------------------------------------------------------------
+
+_PQ_RECALL_SQL = f"""WITH {_PQ_CTES},
+    q2 AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id % 50 = 0),
+    c2 AS (SELECT vec_id AS cand_id, qv AS c_vec FROM base),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> (q_vec[i] - c_vec[i]) * (q_vec[i] - c_vec[i]))) AS BIGINT),
+                 cand_id) AS rn
+        FROM q2 CROSS JOIN c2 WHERE query_id <> cand_id) t
+      WHERE rn <= 3),
+    approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+        FROM adc WHERE query_id <> cand_id) t
+      WHERE rn <= 3),
+    {_RECALL_ROLLUP_SQL}"""
+
+
+@query("sim13_pq_recall", _PQ_RECALL_SQL)
+def sim13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of sim11's PQ/ADC ranking against EXACT integer L2 over
+    the same quantized vectors — deliberately evaluated in the SAME
+    metric space, so the number isolates pure QUANTIZATION loss (codes
+    vs full vectors) instead of conflating it with the cosine-vs-L2
+    metric choice the way a sim01 comparison would. Completes the
+    measured-not-assumed eval family: sim09/sim10 price the LSH paths,
+    dd21 prices the dedup banding, this prices the PQ codes.
+
+    Shares the per-query rollup with sim09/sim10 (_recall_rollup /
+    _RECALL_ROLLUP_SQL) and the whole PQ chain with sim11 (_PQ_CTES) —
+    neither the index nor the eval arithmetic can fork from the
+    operators they measure.
+
+    Scale: exact-L2 truth is |Q|×|C| and runs on the sampled query set
+    only (the sim01 discipline); the approx leg is the production PQ
+    scan. M=4×K=8 codes on isotropic synthetic vectors measure low —
+    that is the eval's point: it tells you to grow M/K (or train real
+    k-means codebooks, sim06) BEFORE shipping the index."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.quantize("embedding").alias("qv")
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_vec")
+    )
+    c = base.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_vec"))
+    dist = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("d", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id")
+    )
+    approx = (
+        sim11_pq_topk(spark, sf_dir)
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id")
+    )
+    return _recall_rollup(exact, approx)
