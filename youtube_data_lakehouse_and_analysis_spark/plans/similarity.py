@@ -527,7 +527,7 @@ def _recall_rollup(exact: DataFrame, approx: DataFrame) -> DataFrame:
     per_q = (
         exact.select("query_id")
         .distinct()
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")  # |Q| rows — never SMJ
         .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
     )
     return per_q.agg(
