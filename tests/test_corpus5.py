@@ -256,3 +256,16 @@ def test_pq_recall_eval_bounds(spark):
     assert r["n_possible"] == 3 * r["n_queries"] and r["n_queries"] > 0
     assert 0 <= r["n_hits"] <= r["n_possible"]
     assert 0.0 <= r["recall_at_3"] <= 1.0
+
+
+def test_modality_packing_conserves_items_and_tokens(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.multimodal import (
+        mm06_modality_packing,
+    )
+
+    rows = mm06_modality_packing(spark, SF_DIR).collect()
+    total_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_items"] for r in rows) == total_docs
+    for r in rows:
+        assert r["n_images"] + r["n_audio"] + r["n_video"] == r["n_items"]
+        assert r["pack_tokens"] > 0 and r["pack_id"] >= 0

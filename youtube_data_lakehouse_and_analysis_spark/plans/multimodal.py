@@ -140,3 +140,92 @@ def mm05_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("kind").alias("n_kinds"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+_PACK_CTX = 256  # context-window token budget
+
+# Token cost per media item from the decoded metadata: image = 8x8-pixel
+# patches, audio = one token per 128 payload bytes, video = per-frame
+# 16x16 patches. All integer ceilings.
+_COST_SQL = f"""CASE kind
+           WHEN 'image' THEN (width * height + 63) // 64
+           WHEN 'audio' THEN (n_bytes + 127) // 128
+           ELSE n_frames * ((width * height + 255) // 256) END"""
+
+
+@query(
+    "mm06_modality_packing",
+    f"""WITH media AS (
+          SELECT doc_id, source, {_KIND} AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        dec AS (
+          SELECT doc_id, source, kind, n_bytes,
+                 CAST(1 + n_bytes % 64 AS BIGINT) AS width,
+                 CAST(1 + n_bytes % 37 AS BIGINT) AS height,
+                 CAST(CASE WHEN kind = 'video' THEN 1 + n_bytes % 24 ELSE 1 END AS BIGINT) AS n_frames
+          FROM media),
+        cost AS (SELECT doc_id, source, kind, {_COST_SQL} AS n_tok FROM dec),
+        placed AS (
+          SELECT source, kind, n_tok,
+                 (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok)
+                   // {_PACK_CTX} AS pack_id
+          FROM cost)
+        SELECT source, pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+               CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+               CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        FROM placed GROUP BY source, pack_id""",
+)
+def mm06_modality_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-aware sequence packing: every media item gets a token
+    cost from its decoded metadata (image → 8×8 patches, audio → 1 token
+    per 128 bytes, video → per-frame 16×16 patches — the accounting a
+    multimodal trainer does before batching), then items are packed
+    GREEDILY in doc_id order into 256-token context windows per source
+    (assignment by running-sum start position — the concatenate-and-
+    slice discipline; the straddling item's tokens stay with its start
+    pack, so pack_tokens > 256 reads as spill). Complements ta13, which
+    only *prices* padding waste: this produces the actual pack layout
+    with per-modality composition.
+
+    Scale: the running sum is a window PARTITIONED by source (each
+    source packs independently — exactly how shard-local packing runs on
+    a cluster, no global order), costs are map-side integer arithmetic
+    from metadata (no payload decode needed), and the rollup is a
+    combine-friendly groupBy of |sources|×|packs| rows."""
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    dec = decode_media(media).join(
+        load(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+    cost = dec.select(
+        "doc_id",
+        "source",
+        "kind",
+        F.expr(
+            f"""CASE kind
+               WHEN 'image' THEN (width * CAST(height AS BIGINT) + 63) div 64
+               WHEN 'audio' THEN (n_bytes + 127) div 128
+               ELSE n_frames * ((width * CAST(height AS BIGINT) + 255) div 256) END"""
+        ).alias("n_tok"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = cost.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "pack_id", F.expr(f"(cum - n_tok) div {_PACK_CTX}")
+    )
+    return placed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.col("kind") == "image").cast("long")).alias("n_images"),
+        F.sum((F.col("kind") == "audio").cast("long")).alias("n_audio"),
+        F.sum((F.col("kind") == "video").cast("long")).alias("n_video"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
