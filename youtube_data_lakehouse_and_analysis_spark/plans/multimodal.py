@@ -168,9 +168,9 @@ _COST_SQL = f"""CASE kind
         cost AS (SELECT doc_id, source, kind, {_COST_SQL} AS n_tok FROM dec),
         placed AS (
           SELECT source, kind, n_tok,
-                 (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) - n_tok)
-                   // {_PACK_CTX} AS pack_id
+                 CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok)
+                   // {_PACK_CTX} AS BIGINT) AS pack_id
           FROM cost)
         SELECT source, pack_id,
                CAST(COUNT(*) AS BIGINT) AS n_items,
