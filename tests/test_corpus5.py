@@ -269,3 +269,22 @@ def test_modality_packing_conserves_items_and_tokens(spark):
     for r in rows:
         assert r["n_images"] + r["n_audio"] + r["n_video"] == r["n_items"]
         assert r["pack_tokens"] > 0 and r["pack_id"] >= 0
+
+
+def test_hll_estimate_tracks_exact(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        sk01_hll_from_scratch,
+    )
+
+    rows = sk01_hll_from_scratch(spark, SF_DIR).collect()
+    assert rows
+    # raw HLL (no linear-counting correction, documented): below n ≈ m
+    # the estimate plateaus near alpha*m regardless of n, so the valid
+    # envelope is [n/2, max(2n, 2*alpha*m)]
+    ceiling = 2 * 0.709 * 64
+    for r in rows:
+        assert (
+            r["n_exact"] / 2
+            <= r["hll_estimate"]
+            <= max(2 * r["n_exact"], ceiling)
+        )

@@ -410,3 +410,113 @@ def pp02_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# sk01 — HyperLogLog from first principles (integer-exact registers)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 bucket bits) → ~13% standard error
+_HLL_R = 55  # rho sentinel/bound: the 54-bit suffix's lowbit position ≤ 54
+# alpha_64 = 0.709 as the exact rational 709/1000. The numerator
+# 709 * 4096 * 2^55 is computed HERE as one exact double (22 significant
+# bits shifted — representable) and emitted as a literal, because DuckDB
+# parses bare decimal literals as DECIMAL (which overflows at this
+# magnitude) while Spark parses them as DOUBLE; a single shortest-repr
+# literal round-trips to the identical double in both parsers. pow() is
+# libm territory (see f05), hence no runtime exponentiation.
+_HLL_NUM = repr(709.0 * 4096.0 * 36028797018963968.0)
+_HLL_EST = f"{_HLL_NUM} / (CAST(1000 AS DOUBLE) * CAST(raw AS DOUBLE))"
+
+
+def _sk01_sql() -> str:
+    from ..functions.text import sql_md5_prefix_long
+
+    h = sql_md5_prefix_long("CAST(user_id AS VARCHAR)", 15)
+    return f"""WITH h AS (
+          SELECT event_type, {h} AS h FROM events),
+        r AS (
+          SELECT event_type, h % {_HLL_M} AS j,
+                 CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_R}
+                      ELSE length(bin((h // {_HLL_M}) & -(h // {_HLL_M}))) END AS rho
+          FROM h),
+        m AS (SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY event_type, j),
+        grid AS (
+          SELECT event_type, gj AS j
+          FROM (SELECT DISTINCT event_type FROM events)
+          CROSS JOIN UNNEST(range(0, {_HLL_M})) AS t(gj)),
+        reg AS (
+          SELECT g.event_type, COALESCE(m.mj, 0) AS mj
+          FROM grid g LEFT JOIN m ON g.event_type = m.event_type AND g.j = m.j),
+        raws AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_R} - mj)) AS BIGINT) AS raw
+          FROM reg GROUP BY event_type),
+        exact AS (
+          SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, e.n_exact, {_HLL_EST} AS hll_estimate
+        FROM exact e JOIN raws USING (event_type)
+        ORDER BY e.event_type"""
+
+
+@query("sk01_hll_from_scratch", _sk01_sql())
+def sk01_hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (Flajolet et al. 2007),
+    bit-exact across engines — unlike a03's approx_count_distinct, whose
+    engine-specific sketch forces a rows-only gate, this one is fully
+    oracle-checked: per event type, 64 registers hold the max lowest-
+    set-bit position of the 54-bit md5 suffix (rho via the x & -x lowbit
+    isolate + bin-length — no logs), the harmonic denominator is the
+    EXACT integer Σ 2^(R − M[j]), and the α·m²-scaled estimate is one
+    identical double rounding chain. Reported next to the exact distinct
+    count so the ~13% (1.04/√64) error budget is measured, not assumed.
+
+    Scale: THE mergeable-sketch pattern — registers combine with MAX, so
+    per-partition sketches merge map-side and the shuffle carries
+    64 small integers per group regardless of cardinality; exactly how
+    distinct-user counts run over 100 TB when a02's exact shuffle is too
+    wide. The exact leg exists for the eval (like sim13/dd21, the
+    approximate path ships with its measured quality)."""
+    from ..functions.text import md5_prefix_long
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        md5_prefix_long(F.col("user_id").cast("string"), 15).alias("h"),
+    )
+    r = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("j"),
+        F.expr(
+            f"CASE WHEN h div {_HLL_M} = 0 THEN {_HLL_R}"
+            f" ELSE length(bin((h div {_HLL_M}) & -(h div {_HLL_M}))) END"
+        ).alias("rho"),
+    )
+    m = r.groupBy("event_type", "j").agg(F.max("rho").alias("mj"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j"),
+        )
+    )
+    reg = grid.join(m, ["event_type", "j"], "left").select(
+        "event_type", F.coalesce(F.col("mj"), F.lit(0)).alias("mj")
+    )
+    raws = reg.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_R} - mj)")).alias("raw")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(raws, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(_HLL_EST).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
