@@ -288,3 +288,19 @@ def test_hll_estimate_tracks_exact(spark):
             <= r["hll_estimate"]
             <= max(2 * r["n_exact"], ceiling)
         )
+
+
+def test_kmv_sketch_estimates_and_degenerate_case(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        _KMV_K,
+        sk02_kmv_set_ops,
+    )
+
+    r = sk02_kmv_set_ops(spark, SF_DIR).collect()[0]
+    for side in ("a", "b", "union"):
+        exact, est = r[f"n_{side}_exact"], r[f"est_{side}"]
+        if exact < _KMV_K:
+            assert est == float(exact)  # below K the sketch IS the set
+        else:
+            assert exact * 0.5 <= est <= exact * 2
+    assert 0 <= r["jaccard_kmv_permille"] <= 1000

@@ -520,3 +520,156 @@ def sk01_hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# sk02 — KMV (theta-style) sketch set algebra
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_A, _KMV_B = "click", "view"
+# (k-1) * 2^60 as one exact double literal (5 significant bits shifted),
+# same DuckDB-DECIMAL-literal rationale as sk01's constant.
+_KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
+
+
+def _sk02_sql() -> str:
+    from ..functions.text import sql_md5_prefix_long
+
+    h = sql_md5_prefix_long("CAST(user_id AS VARCHAR)", 15)
+    est = (
+        f"CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE) "
+        f"ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END"
+    )
+    return f"""WITH h AS (
+          SELECT DISTINCT event_type, {h} AS h FROM events
+          WHERE event_type IN ('{_KMV_A}', '{_KMV_B}')),
+        ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+        sk AS (SELECT event_type, h FROM ranked WHERE rn <= {_KMV_K}),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(MAX(h) AS BIGINT) AS hk
+          FROM sk GROUP BY event_type),
+        uh AS (SELECT DISTINCT h FROM h),
+        uranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM uh),
+        usk AS (SELECT h FROM uranked WHERE rn <= {_KMV_K}),
+        ustats AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                          CAST(MAX(h) AS BIGINT) AS hk FROM usk),
+        common AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c FROM usk u
+          WHERE EXISTS (SELECT 1 FROM h a
+                        WHERE a.event_type = '{_KMV_A}' AND a.h = u.h)
+            AND EXISTS (SELECT 1 FROM h b
+                        WHERE b.event_type = '{_KMV_B}' AND b.h = u.h)),
+        exact AS (
+          SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = '{_KMV_A}' THEN user_id END) AS BIGINT) AS n_a,
+                 CAST(COUNT(DISTINCT CASE WHEN event_type = '{_KMV_B}' THEN user_id END) AS BIGINT) AS n_b,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union
+          FROM events WHERE event_type IN ('{_KMV_A}', '{_KMV_B}'))
+        SELECT e.n_a AS n_a_exact,
+               (SELECT {est} FROM stats WHERE event_type = '{_KMV_A}') AS est_a,
+               e.n_b AS n_b_exact,
+               (SELECT {est} FROM stats WHERE event_type = '{_KMV_B}') AS est_b,
+               e.n_union AS n_union_exact,
+               (SELECT {est} FROM ustats) AS est_union,
+               (SELECT (c * 1000) // LEAST((SELECT cnt FROM ustats), {_KMV_K})
+                FROM common) AS jaccard_kmv_permille
+        FROM exact e"""
+
+
+@query("sk02_kmv_set_ops", _sk02_sql())
+def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style sketch set algebra (Beyer et al. 2007; the
+    Datasketches theta design): each side keeps only its K=32 smallest
+    60-bit hashes, cardinality is estimated as (K−1)·2^60 / h_(K)
+    (exactly the count when the set is smaller than K — the estimator's
+    own degenerate case, handled identically on both engines), and the
+    UNION sketch is just the K smallest of the merged sketches. The
+    overlap ratio counts union-sketch members present in BOTH sides —
+    theta-sketch intersection — giving a Jaccard estimate in integer
+    permille. Exact legs ride along (sk01/dd21/sim13 discipline).
+
+    This is what cross-SOURCE overlap costs at 100 TB: dd15's exact
+    duplication matrix shuffles real pair sets; sketch algebra answers
+    the same "how much do sources overlap" question shipping K hashes
+    per source — sketches merge by MIN/top-K, so they combine map-side
+    and the coordinator sees K·|sources| integers total.
+
+    Determinism: hashes are md5-derived integers, top-K selection and
+    MAX are order-free, the single estimate division is one double chain
+    with the numerator emitted as an exact shortest-repr literal."""
+    from ..functions.text import md5_prefix_long
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KMV_A, _KMV_B)
+    )
+    h = ev.select(
+        "event_type", md5_prefix_long(F.col("user_id").cast("string"), 15).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    est_expr = (
+        f"CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE) "
+        f"ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END"
+    )
+    stats = (
+        sk.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.max("h").alias("hk"))
+        .select("event_type", F.expr(est_expr).alias("est"), "cnt")
+    )
+    uh = h.select("h").distinct()
+    usk = (
+        uh.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+        .localCheckpoint(eager=False)  # feeds ustats, common, and the cap
+    )
+    ustats = uh.join(usk, "h", "left_semi").agg(
+        F.count("*").alias("cnt"), F.max("h").alias("hk")
+    )
+    ha = h.filter(F.col("event_type") == _KMV_A).select("h")
+    hb = h.filter(F.col("event_type") == _KMV_B).select("h")
+    common = (
+        usk.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _KMV_A, F.col("user_id"))
+        ).alias("n_a_exact"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _KMV_B, F.col("user_id"))
+        ).alias("n_b_exact"),
+        F.countDistinct("user_id").alias("n_union_exact"),
+    )
+    est_a = stats.filter(F.col("event_type") == _KMV_A).select(
+        F.col("est").alias("est_a")
+    )
+    est_b = stats.filter(F.col("event_type") == _KMV_B).select(
+        F.col("est").alias("est_b")
+    )
+    est_u = ustats.select(
+        F.expr(est_expr).alias("est_union"), F.col("cnt").alias("ucnt")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_a_exact",
+            "est_a",
+            "n_b_exact",
+            "est_b",
+            "n_union_exact",
+            "est_union",
+            F.expr(f"(c * 1000) div least(ucnt, {_KMV_K})").alias(
+                "jaccard_kmv_permille"
+            ),
+        )
+    )
