@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in dict order.  Rounds 1-5 rotated through 145 of the r5 catalog's 177
 # names.  Round 6 front-loads (a) the 32 queries the driver had never
 # sampled through r5, (b) ta14/ta15 (added after the r5 cut), and
-# (c) 16 of this round's new-or-changed queries.  The catalog (227
+# (c) 16 of this round's new-or-changed queries.  The catalog (228
 # names) outgrows the 50-name sample, so some round-6 names must wait
 # for r7 — late additions (ta18, gr02, as03, scd02, dq02, ev12, ev13,
 # and the batch-5/6 ops ir02/ta19/sm08/sm09/sim11/gr03/pd04/dd20/ta20/

@@ -304,3 +304,18 @@ def test_kmv_sketch_estimates_and_degenerate_case(spark):
         else:
             assert exact * 0.5 <= est <= exact * 2
     assert 0 <= r["jaccard_kmv_permille"] <= 1000
+
+
+def test_countmin_never_undercounts(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        sk03_countmin_heavy_hitters,
+    )
+
+    rows = sk03_countmin_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    ns = [r["n_exact"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        # the CMS one-sided guarantee: min-of-cells >= true count
+        assert r["cm_estimate"] >= r["n_exact"]
+        assert r["overcount"] == r["cm_estimate"] - r["n_exact"]

@@ -673,3 +673,94 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sk03 — count-min sketch frequency estimates
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+_CMS_TOPK = 10
+
+
+def _sk03_sql() -> str:
+    from ..functions.text import sql_md5_prefix_long
+
+    cell = sql_md5_prefix_long("CAST(s AS VARCHAR) || '|' || word")
+    qcell = sql_md5_prefix_long("CAST(t.s AS VARCHAR) || '|' || e.word")
+    return f"""WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        cells AS (
+          SELECT s, {cell} % {_CMS_W} AS cell, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w, UNNEST(range(0, {_CMS_D})) AS t(s)
+          GROUP BY s, cell),
+        exact AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+          ORDER BY n DESC, word LIMIT {_CMS_TOPK}),
+        est AS (
+          SELECT e.word, e.n, MIN(c.c) AS cm
+          FROM exact e, UNNEST(range(0, {_CMS_D})) AS t(s)
+          JOIN cells c ON c.s = t.s AND c.cell = {qcell} % {_CMS_W}
+          GROUP BY e.word, e.n)
+        SELECT word, n AS n_exact, CAST(cm AS BIGINT) AS cm_estimate,
+               CAST(cm - n AS BIGINT) AS overcount
+        FROM est ORDER BY n_exact DESC, word"""
+
+
+@query("sk03_countmin_heavy_hitters", _sk03_sql())
+def sk03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: d=4 hash rows × w=256 counters absorb every word occurrence,
+    and a word's frequency estimate is the MIN of its d cells — never an
+    undercount (the CMS one-sided guarantee; the test pins it), over by
+    at most the collisions in its luckiest row. Reported for the top-10
+    exact heavy hitters with the measured overcount, completing the
+    sketch shelf: sk01 HLL (distinct), sk02 KMV (set algebra), sk03 CMS
+    (frequencies) — all bit-exact across engines where a03's native
+    sketch cannot be.
+
+    Scale: the sketch is d·w = 1024 integer counters REGARDLESS of
+    stream size, built by one combine-friendly count shuffle (counters
+    merge by +, so partial sketches combine map-side — the streaming/
+    distributed property that makes CMS the standard heavy-hitter
+    primitive); the probe side joins the top-k candidates against the
+    broadcast-sized counter table. The exact leg exists for the eval,
+    as everywhere (dd21/sim13/sk01/sk02)."""
+    from ..functions.text import md5_keyed, md5_prefix_long
+
+    w = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s")
+    cellno = (
+        F.conv(F.substring(F.md5(F.concat(F.col("s").cast("string"), F.lit("|"), F.col("word"))), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+    cells = (
+        w.select("word", seeds)
+        .select("s", cellno.alias("cell"))
+        .groupBy("s", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select("word", "n", seeds).select(
+        "word", "n", "s", cellno.alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["s", "cell"])
+        .groupBy("word", "n")
+        .agg(F.min("c").alias("cm"))
+    )
+    return est.select(
+        "word",
+        F.col("n").alias("n_exact"),
+        F.col("cm").alias("cm_estimate"),
+        (F.col("cm") - F.col("n")).alias("overcount"),
+    ).orderBy(F.desc("n_exact"), F.asc("word"))
