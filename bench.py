@@ -11,12 +11,11 @@ warm-up was the prime suspect for the r5 driver-env anomaly — q01 at
 one warm-up then the median of 5 timed runs; execution via the noop sink
 (full plan runs, no driver-side row transfer skewing the number).
 
-Diagnostics beyond the contract keys (extra JSON keys, driver ignores
-them): "samples" holds all 5 raw per-run timings per query so a drifting
-median can be distinguished from one polluted sample; "warmup" holds the
-warm-up timing (first-touch costs land here, not in the medians);
-"prebuild" records per-table layout pre-build seconds and whether the
-compacted copy was REBUILT this run or already cached.
+Diagnostics (samples / warmup / prebuild / extended) are written to
+BENCH_DETAIL.json next to this file — NOT appended to the stdout contract
+line.  Appending them truncated BENCH_r06.json past the driver's capture
+window ("parsed": null); the final stdout line is now only the compact
+contract keys.
 """
 
 from __future__ import annotations
@@ -135,6 +134,25 @@ def main() -> None:
             statistics.median(run_query(spark, fn, SF_DIR) for _ in range(3)), 4
         )
     total = round(sum(timings.values()), 4)
+    # Diagnostics go to a SIDE FILE, not the contract line: the r6 driver
+    # artifact was front-truncated ("parsed": null) because the one JSON line
+    # outgrew the driver's capture window once samples/warmup/prebuild/
+    # extended were appended.  The final stdout line is now ONLY the compact
+    # contract keys (metric/value/unit/queries/sf).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "samples": samples,
+                "warmup": warmup,
+                "prebuild": prebuild,
+                "extended": extended,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -143,10 +161,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "samples": samples,
-                "warmup": warmup,
-                "prebuild": prebuild,
-                "extended": extended,
             }
         )
     )

@@ -553,9 +553,13 @@ def _ta20_sql() -> str:
     applied = "' ' || text || ' '"
     for i in range(1, _N_MERGES + 1):
         applied = f"replace({applied}, m{i}f, m{i}t)"
+    # COALESCE to a no-op sentinel (replace(x, chr(1), chr(1)) is identity):
+    # with fewer than _N_MERGES distinct bigrams the pivoted columns are
+    # NULL, and replace(text, NULL, NULL) would null out n_tokens_after on
+    # BOTH engines — oracle parity would hold while the output is garbage.
     piv_cols = ", ".join(
-        f"MAX(CASE WHEN rk = {i} THEN ' ' || w1 || ' ' || w2 || ' ' END) AS m{i}f, "
-        f"MAX(CASE WHEN rk = {i} THEN ' ' || w1 || '_' || w2 || ' ' END) AS m{i}t"
+        f"COALESCE(MAX(CASE WHEN rk = {i} THEN ' ' || w1 || ' ' || w2 || ' ' END), chr(1)) AS m{i}f, "
+        f"COALESCE(MAX(CASE WHEN rk = {i} THEN ' ' || w1 || '_' || w2 || ' ' END), chr(1)) AS m{i}t"
         for i in range(1, _N_MERGES + 1)
     )
     return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -626,26 +630,35 @@ def ta20_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # coalesce to the no-op sentinel chr(1): replace(x, '\x01', '\x01') is
+    # identity, so a corpus with < _N_MERGES distinct bigrams degrades to
+    # fewer merges instead of NULLing every row (advice r6).
     piv = ranked.groupBy().agg(
         *[
             c
             for i in range(1, _N_MERGES + 1)
             for c in (
-                F.max(
-                    F.when(
-                        F.col("rk") == i,
-                        F.concat(
-                            F.lit(" "), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" ")
-                        ),
-                    )
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("rk") == i,
+                            F.concat(
+                                F.lit(" "), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" ")
+                            ),
+                        )
+                    ),
+                    F.lit("\x01"),
                 ).alias(f"m{i}f"),
-                F.max(
-                    F.when(
-                        F.col("rk") == i,
-                        F.concat(
-                            F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" ")
-                        ),
-                    )
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("rk") == i,
+                            F.concat(
+                                F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" ")
+                            ),
+                        )
+                    ),
+                    F.lit("\x01"),
                 ).alias(f"m{i}t"),
             )
         ]

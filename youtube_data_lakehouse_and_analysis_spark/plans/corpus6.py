@@ -727,15 +727,14 @@ def sk03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive); the probe side joins the top-k candidates against the
     broadcast-sized counter table. The exact leg exists for the eval,
     as everywhere (dd21/sim13/sk01/sk02)."""
-    from ..functions.text import md5_keyed, md5_prefix_long
+    from ..functions.text import md5_prefix_long
 
     w = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("word")
     )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("s")
     cellno = (
-        F.conv(F.substring(F.md5(F.concat(F.col("s").cast("string"), F.lit("|"), F.col("word"))), 1, 8), 16, 10)
-        .cast("long")
+        md5_prefix_long(F.concat(F.col("s").cast("string"), F.lit("|"), F.col("word")))
         % _CMS_W
     )
     cells = (
