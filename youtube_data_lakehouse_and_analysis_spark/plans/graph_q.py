@@ -131,32 +131,49 @@ def gr02_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM lp a JOIN lp b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+          FROM (SELECT u AS v FROM edges UNION ALL SELECT v FROM edges) t
+          GROUP BY v),
+        oriented AS (
+          SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS src,
+                 CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS dst,
+                 CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS ddst
+          FROM edges e
+          JOIN deg du ON du.v = e.u
+          JOIN deg dv ON dv.v = e.v),
         wedges AS (
-          SELECT e1.u AS a, e1.v AS b, e2.v AS c
-          FROM edges e1 JOIN edges e2 ON e1.v = e2.u),
+          SELECT o1.src, o1.dst AS y, o2.dst AS z
+          FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+          WHERE o1.ddst < o2.ddst
+             OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
         tri AS (
-          SELECT w.a, w.b, w.c
-          FROM wedges w JOIN edges e3 ON e3.u = w.a AND e3.v = w.c)
+          SELECT w.src
+          FROM wedges w JOIN oriented e3 ON e3.src = w.y AND e3.dst = w.z)
         SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
                (SELECT COUNT(*) FROM edges) AS n_edges,
                (SELECT COUNT(*) FROM wedges) AS n_wedges""",
 )
 def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the part co-purchase graph (parts are
-    adjacent iff some 1995 order contains both): the unipartite
-    complement of gr02's bipartite motif, and the standard cohesion /
-    community-density primitive. Edges are id-oriented (u < v) so each
-    triangle {a<b<c} is enumerated exactly once as the wedge (a,b),(b,c)
-    closed by (a,c) — no post-hoc division, pure integer counts.
+    adjacent iff some 1995 order contains both), with DEGREE-ORIENTED
+    wedge generation (Schank/Wagner node-iterator++, the production
+    form): each undirected edge points from its lower-(degree, id)
+    endpoint to the higher, so every wedge is generated once at its
+    LOWEST-degree vertex and wedge volume is Σ out-deg² with out-degree
+    bounded by O(√m) — O(m^1.5) total work regardless of hub skew,
+    where the r6 id-oriented form was quadratic in the hottest part's
+    co-purchase degree. A triangle {x,y,z} is counted exactly once: as
+    the wedge (x→y, x→z) from its minimum-(degree, id) vertex x, closed
+    by the (necessarily y→z-oriented) third edge. n_triangles and
+    n_edges are orientation-invariant; n_wedges is now the oriented
+    wedge count (Σ C(out-deg, 2)), mirrored exactly in the oracle.
 
-    Scale: the compact-oriented-edge self-join is the textbook
-    distributed plan (one shuffle on the pivot vertex, then a closing
-    semi-probe); wedge volume is Σ out-deg² — production runs orient by
-    DEGREE (hubs point outward at low out-degree, bounding wedges by
-    O(m^1.5), Schank/Wagner) rather than id; id-orientation keeps the
-    oracle twin trivial at test scale and the docstring records the swap.
-    The year filter is pushed to the orders scan; the closing probe
-    reuses the shuffled edge partitioning."""
+    Scale: compact edge list materialized once (checkpoint), degree via
+    one combine-friendly count, orientation map-side after two deg
+    joins; then ONE shuffle on the pivot vertex for the wedge self-join
+    and a closing hash probe. The year filter pushes to the orders scan.
+    """
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate") == 1995)
@@ -175,22 +192,44 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        # The edge list feeds four branches (e1, e2, the closing probe,
-        # and the edge count); checkpoint it so it's computed once — at
-        # scale this is the materialized compact edge list every
-        # production triangle counter builds first.
+        # The compact edge list feeds the degree count, the orientation
+        # join, and the edge count; checkpoint it so the expensive
+        # lineitem⋈orders build runs once — at scale this is the
+        # materialized edge list every production triangle counter
+        # builds first.
         .localCheckpoint(eager=False)
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    # One pass over the wedges: a left probe into the closing-edge set
-    # counts wedges and triangles together ((a,c) is unique in edges, so
-    # a match never duplicates a wedge row).
-    e3 = edges.select(
-        F.col("u").alias("a"), F.col("v").alias("c"), F.lit(1).alias("hit")
+    deg = (
+        edges.select(F.col("u").alias("v"))
+        .unionAll(edges.select("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
     )
-    closed = wedges.join(e3, ["a", "c"], "left").agg(
+    low_first = F.col("du") <= F.col("dv")  # tie → u (u < v by construction)
+    oriented = (
+        edges.join(deg.select(F.col("v").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select("v", F.col("d").alias("dv")), "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+        # consumed three times: both wedge legs + the closing probe
+        .localCheckpoint(eager=False)
+    )
+    o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    # One pass over the wedges: a left probe into the oriented closing-
+    # edge set counts wedges and triangles together ((y,z) is unique in
+    # oriented, so a match never duplicates a wedge row).
+    e3 = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z"), F.lit(1).alias("hit")
+    )
+    closed = wedges.join(e3, ["y", "z"], "left").agg(
         F.count("hit").alias("n_triangles"),
         F.count("*").alias("n_wedges"),
     )
