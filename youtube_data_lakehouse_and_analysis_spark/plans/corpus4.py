@@ -389,3 +389,144 @@ def sm07_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm07a/sm07b — the PRODUCTION (no-global-sort) form of sm07's quartiles:
+# histogram-CDF cut points broadcast into a map-side assignment, plus the
+# oracled agreement eval against the exact NTILE form (the sim13 discipline:
+# never ship an approximation without measuring it).
+# ---------------------------------------------------------------------------
+
+
+_SM07A_ASSIGN_CTES = f"""{_SCORE_CTES},
+    hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM weighted GROUP BY score),
+    cdf AS (
+      SELECT score,
+             SUM(cnt) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist),
+    cuts AS (SELECT score, CAST(CEIL(4.0 * cum / n) AS INT) AS quartile FROM cdf)"""
+
+_SM07A_SQL = f"""WITH {_SM07A_ASSIGN_CTES},
+    q AS (
+      SELECT w.doc_id, w.score, c.quartile,
+             CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS hv
+      FROM weighted w JOIN cuts c ON w.score = c.score)
+    SELECT quartile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hv < (CASE quartile WHEN 1 THEN 1 WHEN 2 THEN 2
+                                                  WHEN 3 THEN 4 ELSE 8 END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN hv < (CASE quartile WHEN 1 THEN 1 WHEN 2 THEN 2
+                                                  WHEN 3 THEN 4 ELSE 8 END)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_rate,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM q GROUP BY quartile"""
+
+
+def _sm07a_cuts(weighted: DataFrame) -> DataFrame:
+    """(score -> quartile) assignment table: cumulative histogram of the
+    integer score domain, quartile = CEIL(4·cdf).  The window runs over the
+    HISTOGRAM (bounded by the score domain, not the corpus), which is the
+    whole point: no per-document global sort anywhere."""
+    hist = weighted.groupBy("score").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return hist.select(
+        "score",
+        F.ceil(F.lit(4.0) * F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all))
+        .cast("int")
+        .alias("quartile"),
+    )
+
+
+@query("sm07a_histogram_cdf_sampling", _SM07A_SQL)
+def sm07a_histogram_cdf_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sm07's quality-weighted sampling with the quartile assignment the
+    production pipeline would actually run at 100 TB: a two-pass histogram
+    CDF (integer scores → bounded bin domain) instead of a global NTILE.
+    Bucket semantics shift from tie-SPLITTING (ntile fills buckets to
+    exactly N/4 by breaking score ties on doc_id) to tie-PRESERVING
+    (every doc with the same score lands in the same quartile — the only
+    semantics an approx-quantile cut can deliver, and arguably the right
+    one: identical documents should share a keep rate).  sm07b measures
+    the assignment agreement between the two forms.
+
+    Scale: score histogram is one combine-friendly shuffle; the CDF
+    window runs over the bounded histogram (whitelisted in the plan
+    gate); assignment is a broadcast hash join back onto the per-doc
+    scores; keep decision and rollup are map-side + one final tiny
+    shuffle.  NO unpartitioned per-row window — compare sm07's plan."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = _quality_scores(docs)
+    cuts = _sm07a_cuts(weighted)
+    hv = md5_prefix_long(F.col("doc_id").cast("string")) % 8
+    q = weighted.join(F.broadcast(cuts), "score").select(
+        "doc_id", "score", "quartile", hv.alias("hv")
+    )
+    slots = (
+        F.when(F.col("quartile") == 1, 1)
+        .when(F.col("quartile") == 2, 2)
+        .when(F.col("quartile") == 3, 4)
+        .otherwise(8)
+    )
+    kept = F.when(F.col("hv") < slots, 1).otherwise(0)
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        (F.sum(kept).cast("double") / F.count("*")).alias("kept_rate"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+_SM07B_SQL = f"""WITH {_SM07A_ASSIGN_CTES},
+    exact AS (
+      SELECT doc_id, score,
+             NTILE(4) OVER (ORDER BY score, doc_id) AS q_exact
+      FROM weighted),
+    joined AS (
+      SELECT e.doc_id, e.q_exact, c.quartile AS q_approx
+      FROM exact e JOIN cuts c ON e.score = c.score)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN q_exact = q_approx THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN q_exact = q_approx THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS agree_rate,
+           CAST(MAX(ABS(q_exact - q_approx)) AS INT) AS max_bucket_gap
+    FROM joined"""
+
+
+@query("sm07b_cdf_ntile_agreement", _SM07B_SQL)
+def sm07b_cdf_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement eval between sm07's exact NTILE quartiles and sm07a's
+    histogram-CDF quartiles: docs can only disagree where a score value
+    straddles an N/4 boundary (ntile splits the tie, the CDF doesn't), so
+    agree_rate ≈ 1 − (boundary-tie mass)/N and max_bucket_gap is 1 unless
+    a single score holds > 25% of the corpus.  The eval that licenses
+    shipping sm07a at scale — same discipline as sim13's PQ recall.
+
+    Scale: eval-only query; the exact leg keeps the global NTILE and is
+    priced accordingly (runs on the per-doc score table, never the token
+    stream)."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = _quality_scores(docs)
+    cuts = _sm07a_cuts(weighted)
+    exact = weighted.select(
+        "doc_id",
+        "score",
+        F.ntile(4).over(Window.orderBy("score", "doc_id")).alias("q_exact"),
+    )
+    joined = exact.join(F.broadcast(cuts), "score").withColumnRenamed(
+        "quartile", "q_approx"
+    )
+    agree = F.when(F.col("q_exact") == F.col("q_approx"), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(agree).alias("n_agree"),
+        (F.sum(agree).cast("double") / F.count("*")).alias("agree_rate"),
+        F.max(F.abs(F.col("q_exact") - F.col("q_approx"))).cast("int").alias("max_bucket_gap"),
+    )

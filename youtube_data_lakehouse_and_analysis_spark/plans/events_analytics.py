@@ -678,3 +678,173 @@ def ev13_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_buyers"),
         F.sum("amount").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev10a/ev10b — ev10's RFM quintiles in the PRODUCTION (no-global-sort)
+# form: per-metric histogram-CDF cut points broadcast into map-side
+# assignment, plus the oracled agreement eval against the exact NTILEs.
+# ---------------------------------------------------------------------------
+
+
+_EV10A_ASSIGN_CTES = """p AS (
+         SELECT user_id,
+                MAX(ts) AS last_purchase,
+                COUNT(*) AS frequency,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       b AS (
+         SELECT user_id, monetary,
+                CAST(last_purchase AS DATE) AS r_bin,
+                frequency AS f_bin,
+                CAST(FLOOR(monetary) AS BIGINT) AS m_bin
+         FROM p),
+       rh AS (SELECT r_bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY r_bin),
+       rc AS (SELECT r_bin,
+                     CAST(CEIL(5.0 * SUM(cnt) OVER (ORDER BY r_bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          / SUM(cnt) OVER ()) AS INT) AS r_score
+              FROM rh),
+       fh AS (SELECT f_bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY f_bin),
+       fc AS (SELECT f_bin,
+                     CAST(CEIL(5.0 * SUM(cnt) OVER (ORDER BY f_bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          / SUM(cnt) OVER ()) AS INT) AS f_score
+              FROM fh),
+       mh AS (SELECT m_bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY m_bin),
+       mc AS (SELECT m_bin,
+                     CAST(CEIL(5.0 * SUM(cnt) OVER (ORDER BY m_bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          / SUM(cnt) OVER ()) AS INT) AS m_score
+              FROM mh),
+       scored AS (
+         SELECT b.user_id, b.monetary, rc.r_score, fc.f_score, mc.m_score
+         FROM b JOIN rc USING (r_bin) JOIN fc USING (f_bin) JOIN mc USING (m_bin))"""
+
+
+def _ev10a_scored(spark: SparkSession, sf_dir: str):
+    """(user_id, monetary, r_score, f_score, m_score) with each quintile
+    assigned by a histogram-CDF over a DOMAIN-bounded bin (calendar day /
+    small-int frequency / whole-dollar spend) — three tiny windows over
+    histograms, three broadcast joins, zero per-user global sorts."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+    )
+    b = p.select(
+        "user_id",
+        "monetary",
+        F.col("last_purchase").cast("date").alias("r_bin"),
+        F.col("frequency").alias("f_bin"),
+        F.floor("monetary").cast("bigint").alias("m_bin"),
+    )
+    out = b
+    for bin_col, score_col in (("r_bin", "r_score"), ("f_bin", "f_score"), ("m_bin", "m_score")):
+        hist = b.groupBy(bin_col).agg(F.count("*").alias("cnt"))
+        w_cum = Window.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_all = Window.partitionBy()
+        cuts = hist.select(
+            bin_col,
+            F.ceil(F.lit(5.0) * F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all))
+            .cast("int")
+            .alias(score_col),
+        )
+        out = out.join(F.broadcast(cuts), bin_col)
+    return out.select("user_id", "monetary", "r_score", "f_score", "m_score")
+
+
+@query(
+    "ev10a_rfm_segments_approx",
+    f"""WITH {_EV10A_ASSIGN_CTES}
+       SELECT r_score, f_score, m_score,
+              COUNT(*) AS n_users,
+              CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+       FROM scored GROUP BY r_score, f_score, m_score""",
+)
+def ev10a_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev10's RFM segmentation in the form a 100 TB/day events pipeline
+    ships: each metric's quintile comes from a cumulative histogram over
+    a DOMAIN-bounded bin (recency → calendar day, frequency → its small
+    integer range, monetary → whole dollars), score = CEIL(5·cdf).
+    Same-bin users share a score (tie-preserving, vs ntile's tie-split);
+    ev10b measures the agreement.
+
+    Scale: the per-user profile shuffle is shared with ev10; then three
+    combine-friendly histogram aggs whose CDF windows run over bin
+    domains (≈ days / counts / dollars — bounded regardless of user
+    count, whitelisted in the plan gate), three broadcast assignment
+    joins, and the ≤125-cell rollup.  The three unpartitioned PER-USER
+    NTILEs of ev10 are gone."""
+    return _ev10a_scored(spark, sf_dir).groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
+    )
+
+
+@query(
+    "ev10b_rfm_agreement",
+    f"""WITH {_EV10A_ASSIGN_CTES},
+       exact AS (
+         SELECT user_id,
+                NTILE(5) OVER (ORDER BY last_purchase, user_id) AS r_exact,
+                NTILE(5) OVER (ORDER BY frequency, user_id) AS f_exact,
+                NTILE(5) OVER (ORDER BY monetary, user_id) AS m_exact
+         FROM p),
+       j AS (
+         SELECT e.user_id,
+                CASE WHEN e.r_exact = s.r_score THEN 1 ELSE 0 END AS r_ok,
+                CASE WHEN e.f_exact = s.f_score THEN 1 ELSE 0 END AS f_ok,
+                CASE WHEN e.m_exact = s.m_score THEN 1 ELSE 0 END AS m_ok
+         FROM exact e JOIN scored s ON e.user_id = s.user_id)
+       SELECT COUNT(*) AS n_users,
+              CAST(SUM(r_ok) AS DOUBLE) / COUNT(*) AS r_agree_rate,
+              CAST(SUM(f_ok) AS DOUBLE) / COUNT(*) AS f_agree_rate,
+              CAST(SUM(m_ok) AS DOUBLE) / COUNT(*) AS m_agree_rate,
+              CAST(SUM(r_ok * f_ok * m_ok) AS DOUBLE) / COUNT(*) AS cell_agree_rate
+       FROM j""",
+)
+def ev10b_rfm_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement eval licensing ev10a: per-dimension and full-cell match
+    rates between the exact NTILE quintiles and the histogram-CDF
+    quintiles.  Disagreement concentrates where a bin straddles an N/5
+    boundary (coarser bins → more straddle mass: expect monetary ≥
+    recency ≥ frequency agreement ordering to reflect bin granularity).
+
+    Scale: eval-only; the exact leg keeps ev10's global NTILEs on the
+    per-user table and is priced as such."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+    )
+    exact = p.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_purchase", "user_id")).alias("r_exact"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_exact"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_exact"),
+    )
+    scored = _ev10a_scored(spark, sf_dir)
+    j = exact.join(scored, "user_id").select(
+        "user_id",
+        F.when(F.col("r_exact") == F.col("r_score"), 1).otherwise(0).alias("r_ok"),
+        F.when(F.col("f_exact") == F.col("f_score"), 1).otherwise(0).alias("f_ok"),
+        F.when(F.col("m_exact") == F.col("m_score"), 1).otherwise(0).alias("m_ok"),
+    )
+    return j.agg(
+        F.count("*").alias("n_users"),
+        (F.sum("r_ok").cast("double") / F.count("*")).alias("r_agree_rate"),
+        (F.sum("f_ok").cast("double") / F.count("*")).alias("f_agree_rate"),
+        (F.sum("m_ok").cast("double") / F.count("*")).alias("m_agree_rate"),
+        (F.sum(F.col("r_ok") * F.col("f_ok") * F.col("m_ok")).cast("double") / F.count("*")).alias("cell_agree_rate"),
+    )

@@ -541,3 +541,112 @@ def j16_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# w08a/w08b — GLOBAL price quartiles without a global sort: histogram-CDF
+# cut points over the whole-dollar price domain (w08's per-customer window
+# needs no such treatment — its partitions are per-key; this is the global
+# variant, the one that would single-partition at scale as exact NTILE).
+# ---------------------------------------------------------------------------
+
+
+_W08A_CUTS_CTES = """b AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS m_bin
+         FROM orders),
+       h AS (SELECT m_bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY m_bin),
+       c AS (SELECT m_bin,
+                    CAST(CEIL(4.0 * SUM(cnt) OVER (ORDER BY m_bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / SUM(cnt) OVER ()) AS INT) AS price_quartile
+             FROM h)"""
+
+
+def _w08a_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor("o_totalprice").cast("bigint").alias("m_bin"),
+    )
+    hist = b.groupBy("m_bin").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("m_bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cuts = hist.select(
+        "m_bin",
+        F.ceil(F.lit(4.0) * F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all))
+        .cast("int")
+        .alias("price_quartile"),
+    )
+    return b.join(F.broadcast(cuts), "m_bin").select(
+        "o_orderkey", "o_custkey", "price_quartile"
+    )
+
+
+@query(
+    "w08a_global_price_quartile",
+    f"""WITH {_W08A_CUTS_CTES}
+       SELECT b.o_orderkey, b.o_custkey, c.price_quartile
+       FROM b JOIN c USING (m_bin)""",
+)
+def w08a_global_price_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE price quartile per order — the query that, written as
+    NTILE(4) OVER (ORDER BY price), single-partitions at scale.  Here:
+    whole-dollar histogram (bin domain bounded by the price RANGE, not
+    the row count), cumulative CDF over the histogram, quartile =
+    CEIL(4·cdf) broadcast back onto orders.  Same-dollar orders share a
+    quartile (tie-preserving); w08b measures agreement with exact NTILE.
+
+    Scale: one combine-friendly histogram shuffle + a broadcast join —
+    the orders table itself is never sorted or shuffled; the CDF window
+    runs over ≤ (max−min) dollar bins (plan-gate whitelisted)."""
+    return _w08a_assigned(spark, sf_dir)
+
+
+@query(
+    "w08b_global_quartile_agreement",
+    f"""WITH {_W08A_CUTS_CTES},
+       exact AS (
+         SELECT o_orderkey,
+                NTILE(4) OVER (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                               o_orderkey) AS q_exact
+         FROM orders),
+       approx AS (
+         SELECT b.o_orderkey, c.price_quartile AS q_approx
+         FROM b JOIN c USING (m_bin)),
+       j AS (
+         SELECT e.o_orderkey,
+                CASE WHEN e.q_exact = a.q_approx THEN 1 ELSE 0 END AS ok
+         FROM exact e JOIN approx a ON e.o_orderkey = a.o_orderkey)
+       SELECT COUNT(*) AS n_orders,
+              CAST(SUM(ok) AS BIGINT) AS n_agree,
+              CAST(SUM(ok) AS DOUBLE) / COUNT(*) AS agree_rate
+       FROM j""",
+)
+def w08b_global_quartile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement eval licensing w08a: exact global NTILE(4) on exact
+    integer cents vs the whole-dollar histogram CDF.  Two disagreement
+    sources: quartile-boundary tie-splits and the cents→dollar bin
+    coarsening; both are confined to boundary dollar bins, so the rate
+    stays near 1 and bounds the coarsening error explicitly.
+
+    Scale: eval-only; the exact leg is the priced-in global sort."""
+    exact = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4)
+        .over(Window.orderBy((dec2("o_totalprice") * 100).cast("bigint"), F.col("o_orderkey")))
+        .alias("q_exact"),
+    )
+    approx = _w08a_assigned(spark, sf_dir).select(
+        "o_orderkey", F.col("price_quartile").alias("q_approx")
+    )
+    j = exact.join(approx, "o_orderkey").select(
+        "o_orderkey",
+        F.when(F.col("q_exact") == F.col("q_approx"), 1).otherwise(0).alias("ok"),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("ok").alias("n_agree"),
+        (F.sum("ok").cast("double") / F.count("*")).alias("agree_rate"),
+    )
