@@ -83,6 +83,11 @@ EXTENDED = [
     "sm09_dsir_affinity",
     "sim11_pq_topk",
     "gr03_triangle_count",
+    # r7 batch-2: histogram-CDF production forms + a domain twin
+    "sm07a_histogram_cdf_sampling",
+    "ev10a_rfm_segments_approx",
+    "w08a_global_price_quartile",
+    "d05_most_liked_per_channel",
 ]
 
 

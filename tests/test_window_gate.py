@@ -26,11 +26,12 @@ WHITELIST = {
     "sm07_quality_weighted_sampling": "exact NTILE on per-doc score table; production swap = sm07a",
     "ev10_rfm_segments": "exact NTILEs on per-user profile table; production swap = ev10a",
     "w04_rank_flavors": "definitional ranking-flavor demo; partitioned form = w01, global swap = w08a",
-    "ta19_lm_quality_gate": "exact terciles on per-doc LM scores; approx swap documented (ta15 recipe)",
+    "ta19_lm_quality_gate": "exact terciles on per-doc LM scores; production swap = ta19a",
     # bounded-input windows (never the fact table)
     "sm07a_histogram_cdf_sampling": "CDF window over the integer-score histogram (domain-bounded)",
     "ev10a_rfm_segments_approx": "CDF windows over day/count/dollar histograms (domain-bounded)",
     "w08a_global_price_quartile": "CDF window over whole-dollar price histogram (domain-bounded)",
+    "ta19a_lm_gate_histogram": "CDF window over the integer LM-score histogram (domain-bounded)",
     "po01_mom_growth": "lag over one-row-per-month rollup (bounded by calendar)",
     "ta20_merge_apply": "row_number over the top-_N_MERGES merge list (8 rows)",
     "sim11_pq_topk": "rank over per-query limit(K) candidate set (bounded by K)",
@@ -40,6 +41,7 @@ WHITELIST = {
     "sm07b_cdf_ntile_agreement": "eval: exact-NTILE truth leg + bounded CDF leg",
     "ev10b_rfm_agreement": "eval: exact-NTILE truth legs + bounded CDF legs",
     "w08b_global_quartile_agreement": "eval: exact-NTILE truth leg + bounded CDF leg",
+    "ta19b_lm_gate_agreement": "eval: exact-NTILE truth leg + bounded CDF leg",
 }
 
 

@@ -679,3 +679,125 @@ def ta20_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_merged", F.col("n_tokens_before") - F.col("n_tokens_after")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ta19a/ta19b — the PRODUCTION (no-global-sort) form of ta19's terciles:
+# histogram-CDF cut points over the integer LM-score domain, plus the
+# oracled agreement eval — the last docstring-promised approx swap shipped
+# (sm07a/ev10a/w08a pattern).
+# ---------------------------------------------------------------------------
+
+
+_TA19A_CUTS_CTES = f"""{_LM_DOC_CTES},
+        hist AS (SELECT mean_condprob_scaled AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM d GROUP BY s),
+        cdf AS (
+          SELECT s,
+                 SUM(cnt) OVER (ORDER BY s DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM hist),
+        cuts AS (SELECT s, CAST(CEIL(3.0 * cum / n) AS INT) AS t FROM cdf)"""
+
+
+def _ta19a_cuts(d: DataFrame) -> DataFrame:
+    """(mean_condprob_scaled -> tercile 1..3) over the DESC-ordered
+    cumulative score histogram — tercile 1 = head (highest scores), as in
+    ta19's DESC NTILE.  The window runs over the bounded score histogram,
+    never the per-doc table."""
+    hist = d.groupBy(F.col("mean_condprob_scaled").alias("s")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        "s",
+        F.ceil(F.lit(3.0) * F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all))
+        .cast("int")
+        .alias("t"),
+    )
+
+
+@query(
+    "ta19a_lm_gate_histogram",
+    f"""WITH {_TA19A_CUTS_CTES}
+        SELECT d.doc_id, d.lang, d.n_bigrams, d.mean_condprob_scaled,
+               CASE c.t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM d JOIN cuts c ON d.mean_condprob_scaled = c.s""",
+)
+def ta19a_lm_gate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta19's head/middle/tail LM-quality buckets in the production form:
+    cumulative histogram over the integer score domain (DESC, so tercile
+    1 is the head), bucket = CEIL(3·cdf) broadcast back onto the per-doc
+    scores.  Same-score docs share a bucket (tie-preserving — for a
+    quality gate the RIGHT semantics: identical scores should not be
+    split across curriculum buckets by doc_id); ta19b measures the
+    agreement against the exact NTILE form.
+
+    Scale: score histogram is one combine-friendly shuffle; the CDF
+    window runs over the bounded histogram (plan-gate whitelisted); the
+    assignment is a broadcast join.  ta19's global per-doc NTILE — the
+    one non-scalable step its docstring flagged — is gone."""
+    d = lm_doc_scores(spark, sf_dir)
+    cuts = _ta19a_cuts(d)
+    return (
+        d.join(F.broadcast(cuts), d["mean_condprob_scaled"] == cuts["s"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "mean_condprob_scaled",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+@query(
+    "ta19b_lm_gate_agreement",
+    f"""WITH {_TA19A_CUTS_CTES},
+        exact AS (
+          SELECT doc_id, mean_condprob_scaled,
+                 NTILE(3) OVER (ORDER BY mean_condprob_scaled DESC, doc_id) AS t_exact
+          FROM d),
+        j AS (
+          SELECT e.doc_id,
+                 CASE WHEN e.t_exact = c.t THEN 1 ELSE 0 END AS ok
+          FROM exact e JOIN cuts c ON e.mean_condprob_scaled = c.s)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(ok) AS BIGINT) AS n_agree,
+               CAST(SUM(ok) AS DOUBLE) / COUNT(*) AS agree_rate
+        FROM j""",
+)
+def ta19b_lm_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement eval licensing ta19a: exact DESC NTILE terciles vs the
+    histogram-CDF terciles.  Disagreement is confined to score values
+    straddling an N/3 boundary; the rate bounds how much of the corpus a
+    curriculum switch would move between buckets.
+
+    Scale: eval-only; the exact leg is priced as ta19 is."""
+    d = lm_doc_scores(spark, sf_dir)
+    cuts = _ta19a_cuts(d)
+    exact = d.select(
+        "doc_id",
+        "mean_condprob_scaled",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("mean_condprob_scaled"), F.asc("doc_id")))
+        .alias("t_exact"),
+    )
+    j = exact.join(
+        F.broadcast(cuts), exact["mean_condprob_scaled"] == cuts["s"]
+    ).select(
+        "doc_id",
+        F.when(F.col("t_exact") == F.col("t"), 1).otherwise(0).alias("ok"),
+    )
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ok").alias("n_agree"),
+        (F.sum("ok").cast("double") / F.count("*")).alias("agree_rate"),
+    )
