@@ -462,7 +462,9 @@ def sm07a_histogram_cdf_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores; keep decision and rollup are map-side + one final tiny
     shuffle.  NO unpartitioned per-row window — compare sm07's plan."""
     docs = load(spark, sf_dir, "documents")
-    weighted = _quality_scores(docs)
+    # consumed twice (histogram leg + assignment join): checkpoint so the
+    # two token-stream shuffles behind the scores run once
+    weighted = _quality_scores(docs).localCheckpoint(eager=False)
     cuts = _sm07a_cuts(weighted)
     hv = md5_prefix_long(F.col("doc_id").cast("string")) % 8
     q = weighted.join(F.broadcast(cuts), "score").select(
@@ -513,7 +515,7 @@ def sm07b_cdf_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced accordingly (runs on the per-doc score table, never the token
     stream)."""
     docs = load(spark, sf_dir, "documents")
-    weighted = _quality_scores(docs)
+    weighted = _quality_scores(docs).localCheckpoint(eager=False)
     cuts = _sm07a_cuts(weighted)
     exact = weighted.select(
         "doc_id",

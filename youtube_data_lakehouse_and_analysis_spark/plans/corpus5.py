@@ -741,7 +741,9 @@ def ta19a_lm_gate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the bounded histogram (plan-gate whitelisted); the
     assignment is a broadcast join.  ta19's global per-doc NTILE — the
     one non-scalable step its docstring flagged — is gone."""
-    d = lm_doc_scores(spark, sf_dir)
+    # consumed twice (histogram leg + assignment join): checkpoint so the
+    # bigram explode + LM joins behind the scores run once
+    d = lm_doc_scores(spark, sf_dir).localCheckpoint(eager=False)
     cuts = _ta19a_cuts(d)
     return (
         d.join(F.broadcast(cuts), d["mean_condprob_scaled"] == cuts["s"])
@@ -781,7 +783,7 @@ def ta19b_lm_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum switch would move between buckets.
 
     Scale: eval-only; the exact leg is priced as ta19 is."""
-    d = lm_doc_scores(spark, sf_dir)
+    d = lm_doc_scores(spark, sf_dir).localCheckpoint(eager=False)
     cuts = _ta19a_cuts(d)
     exact = d.select(
         "doc_id",

@@ -743,7 +743,9 @@ def _ev10a_scored(spark: SparkSession, sf_dir: str):
         F.col("last_purchase").cast("date").alias("r_bin"),
         F.col("frequency").alias("f_bin"),
         F.floor("monetary").cast("bigint").alias("m_bin"),
-    )
+        # consumed four times (three histograms + the assignment join):
+        # checkpoint so the events scan + per-user agg run once
+    ).localCheckpoint(eager=False)
     out = b
     for bin_col, score_col in (("r_bin", "r_score"), ("f_bin", "f_score"), ("m_bin", "m_score")):
         hist = b.groupBy(bin_col).agg(F.count("*").alias("cnt"))
