@@ -32,9 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/verify_local.py this round), then (b) this round's 16 new
 # queries — the histogram-CDF production forms + agreement evals of the
 # global-NTILE operators (verdict r6 ask #3) and the reference-schema
-# domain twins d01-d10 (ask #6).  With this sample, every oracled query
-# in the catalog has been driver-sampled at least once.  gr03 is
+# domain twins d01-d10 (ask #6).  With this sample, every query oracled
+# as of the r6 cut has been driver-sampled at least once.  gr03 is
 # re-listed (changed this round: degree-oriented wedge generation).
+# Queued for the r8 sample (added after this round's 50 slots filled,
+# all strict-local-verified at sf0.01 and sf0.1): ta19a_lm_gate_histogram,
+# ta19b_lm_gate_agreement, ia03_incremental_lsh_index, gr04_kcore_peel.
 _SAMPLE_PRIORITY = [
     # --- (a) the 34 never-driver-sampled queries (through r6) ---
     "pp02_llm_corpus_build", "sim12_ivfpq_topk", "sim13_pq_recall",

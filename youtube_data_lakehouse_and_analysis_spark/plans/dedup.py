@@ -422,3 +422,149 @@ def dd19_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t") == F.col("x.tb"), 1).otherwise(0).alias("exact_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ia03 — incremental LSH-index maintenance (the daily-crawl-increment form)
+# ---------------------------------------------------------------------------
+
+
+def _ia03_sql() -> str:
+    delta = f"{sql_md5_prefix_long('CAST(doc_id AS VARCHAR)')} % 10 = 0"
+    da = f"{sql_md5_prefix_long('CAST(doc_a AS VARCHAR)')} % 10 = 0"
+    db = f"{sql_md5_prefix_long('CAST(doc_b AS VARCHAR)')} % 10 = 0"
+    return f"""WITH {_SIG_CTE},
+        bandkey AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        tagged AS (
+          SELECT doc_id, band, band_key,
+                 CASE WHEN {delta} THEN 1 ELSE 0 END AS is_delta
+          FROM bandkey),
+        inc AS (
+          SELECT DISTINCT LEAST(d.doc_id, o.doc_id) AS doc_a,
+                          GREATEST(d.doc_id, o.doc_id) AS doc_b
+          FROM tagged d JOIN tagged o
+            ON d.band = o.band AND d.band_key = o.band_key
+           AND d.doc_id <> o.doc_id
+          WHERE d.is_delta = 1),
+        full_r AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM tagged a JOIN tagged b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          WHERE a.is_delta = 1 OR b.is_delta = 1),
+        cat AS (
+          SELECT doc_a, doc_b,
+                 (CASE WHEN {da} THEN 1 ELSE 0 END)
+                 + (CASE WHEN {db} THEN 1 ELSE 0 END) AS nd
+          FROM inc)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE {delta}) AS n_delta_docs,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE NOT ({delta})) AS n_base_docs,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cat) AS n_new_pairs,
+          (SELECT CAST(COALESCE(SUM(CASE WHEN nd = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cat) AS n_delta_delta_pairs,
+          (SELECT CAST(COALESCE(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cat) AS n_delta_base_pairs,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM full_r f
+           WHERE NOT EXISTS (SELECT 1 FROM inc i
+                             WHERE i.doc_a = f.doc_a AND i.doc_b = f.doc_b)) AS n_missing_vs_full,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM inc i
+           WHERE NOT EXISTS (SELECT 1 FROM full_r f
+                             WHERE f.doc_a = i.doc_a AND f.doc_b = i.doc_b)) AS n_extra_vs_full"""
+
+
+@query("ia03_incremental_lsh_index", _ia03_sql())
+def ia03_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance — the ia01/ia02
+    merge==recompute discipline applied to the dedup index.  A daily
+    crawl increment must NOT re-dedup the whole corpus: the new docs'
+    band keys (here: the deterministic ~10% doc_id-hash slice plays the
+    delta) are computed from the DELTA TEXT ONLY and probed against the
+    stored band-key index; new candidate pairs are (delta×base sharing a
+    bucket) ∪ (delta×delta).  The query PROVES the maintenance identity
+    inline: the incremental pair set equals the full recompute's pair
+    set restricted to delta-involving pairs — n_missing_vs_full and
+    n_extra_vs_full are both 0 by construction, and the oracle checks
+    the claim on both engines.
+
+    Scale: at 100 TB the base index is a materialized (band, band_key,
+    doc_id) table bucketed on the key; the increment costs
+    O(|delta| · bands) shuffle + one bucket-local probe join — the full
+    self-join never re-runs.  Uncapped in-bucket pairing here (the dd03
+    definitional form); production applies the dd12 width cap to the
+    probe side identically.  The full-recompute leg exists only for the
+    eval, as everywhere (ia01/sim13/dd21)."""
+    from ..functions.text import md5_prefix_long
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+
+    def delta_flag(col):
+        return (md5_prefix_long(col.cast("string")) % 10 == 0).cast("int")
+
+    # the "stored index": consumed by the probe join (twice) and the
+    # full-recompute eval leg (twice)
+    tagged = (
+        D.lsh_band_keys(sigs, rows_per_band=4)
+        .withColumn("is_delta", delta_flag(F.col("doc_id")))
+        .localCheckpoint(eager=False)
+    )
+    d = tagged.filter(F.col("is_delta") == 1).select(
+        "band", "band_key", F.col("doc_id").alias("d_id")
+    )
+    o = tagged.select("band", "band_key", F.col("doc_id").alias("o_id"))
+    inc = (
+        d.join(o, ["band", "band_key"])
+        .filter(F.col("d_id") != F.col("o_id"))
+        .select(
+            F.least("d_id", "o_id").alias("doc_a"),
+            F.greatest("d_id", "o_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # stats leg + the extra-vs-full anti-join
+    )
+    a = tagged.select("band", "band_key", F.col("doc_id").alias("a_id"), "is_delta")
+    b = tagged.select(
+        "band", "band_key", F.col("doc_id").alias("b_id"),
+        F.col("is_delta").alias("is_delta_b"),
+    )
+    full_r = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("is_delta") == 1) | (F.col("is_delta_b") == 1))
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # missing-vs-full leg + extra leg's right side
+    )
+    nd = delta_flag(F.col("doc_a")) + delta_flag(F.col("doc_b"))
+    # COALESCE the sums: an empty increment (no new near-dups today) must
+    # report 0/0, not NULL/NULL (both engines agree on NULL, so the oracle
+    # alone would not catch it — the ta20 lesson)
+    pair_stats = inc.select(nd.alias("nd")).agg(
+        F.count("*").alias("n_new_pairs"),
+        F.coalesce(F.sum((F.col("nd") == 2).cast("long")), F.lit(0)).alias("n_delta_delta_pairs"),
+        F.coalesce(F.sum((F.col("nd") == 1).cast("long")), F.lit(0)).alias("n_delta_base_pairs"),
+    )
+    doc_stats = docs.select(delta_flag(F.col("doc_id")).alias("fd")).agg(
+        F.sum("fd").alias("n_delta_docs"),
+        F.sum(1 - F.col("fd")).alias("n_delta_docs_neg"),
+    ).select(
+        "n_delta_docs", F.col("n_delta_docs_neg").alias("n_base_docs")
+    )
+    missing = full_r.join(inc, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("n_missing_vs_full")
+    )
+    extra = inc.join(full_r, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("n_extra_vs_full")
+    )
+    return (
+        doc_stats.crossJoin(pair_stats)
+        .crossJoin(missing)
+        .crossJoin(extra)
+        .select(
+            "n_delta_docs", "n_base_docs", "n_new_pairs",
+            "n_delta_delta_pairs", "n_delta_base_pairs",
+            "n_missing_vs_full", "n_extra_vs_full",
+        )
+    )
