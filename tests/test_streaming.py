@@ -469,3 +469,36 @@ def test_pyds_stream_real_trigger_offsets_advance(spark, tmp_path):
         for p in data_batches
     ]
     assert len(set(ends)) >= 2, ends
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses redeliveries whose ts was
+    RE-STAMPED (same event_id, different ts) — the case the exact
+    (event_id, ts) key of dedup_stream structurally misses."""
+    import datetime as dt
+
+    from youtube_data_lakehouse_and_analysis_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(seconds=30), 10, "click", 1.0, "{}"),  # re-stamped retry
+        (2, base + dt.timedelta(minutes=1), 11, "view", 2.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "events_in_wm")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_to_memory(dedup_stream_within_watermark(stream), "dedup_wm_out")
+    out = spark.sql("SELECT event_id FROM dedup_wm_out").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
+    # batch twin agrees on the surviving id set
+    batch = dedup_stream_within_watermark(
+        spark.createDataFrame(rows, schema)
+    ).collect()
+    assert sorted(r["event_id"] for r in batch) == [1, 2]

@@ -1088,3 +1088,85 @@ def sim13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
     )
     return _recall_rollup(exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# sim14 — index-health eval: bucket balance of both ANN layouts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim14_index_balance",
+    f"""WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        assign AS (
+          SELECT 'ivf_cell' AS index_type, CAST(label AS VARCHAR) AS bucket FROM q
+          UNION ALL
+          SELECT 'lsh_bucket' AS index_type,
+                 CAST({_sql_bucket_expr()} AS VARCHAR) AS bucket FROM q),
+        w AS (
+          SELECT index_type, bucket, CAST(COUNT(*) AS BIGINT) AS width
+          FROM assign GROUP BY index_type, bucket)
+        SELECT index_type,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(width) AS BIGINT) AS n_vectors,
+               CAST(MAX(width) AS BIGINT) AS max_width,
+               CAST(MIN(width) AS BIGINT) AS min_width,
+               CAST(SUM(width) AS DOUBLE) / COUNT(*) AS mean_width,
+               CAST(MAX(width) AS DOUBLE) * COUNT(*) / CAST(SUM(width) AS DOUBLE)
+                 AS imbalance_factor,
+               (1000 * MAX(width)) // SUM(width) AS max_share_permille
+        FROM w GROUP BY index_type""",
+)
+def sim14_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health eval for BOTH ANN layouts the catalog ships: bucket-
+    width distribution of the IVF coarse cells (sim04/sim12's label
+    cells) and of the 8-hyperplane LSH buckets (sim02/sim08/sim10),
+    side by side — n_buckets, max/min/mean width, the imbalance factor
+    (max/mean: probe-cost variance — the number FAISS's imbalance_factor
+    reports), and the largest bucket's integer permille share of the
+    corpus.  This is the statistic an index team reads BEFORE trusting
+    probe-cost estimates: a 10× imbalance means the hot cell dominates
+    tail latency and the cell count lies about pruning power.  Completes
+    the eval shelf: sim09/sim10 measure recall, sim13 quantization loss,
+    dd21 banding quality, sim14 layout balance.
+
+    Scale: one combine-friendly (index_type, bucket) count over a single
+    pass of the embeddings (the union is two projections of the same
+    scan), then a ≤(cells+2^planes)-row rollup.  No joins, no windows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", S.quantize("embedding").alias("qv"))
+    ivf = q.select(
+        F.lit("ivf_cell").alias("index_type"),
+        F.col("label").cast("string").alias("bucket"),
+    )
+    lsh = q.select(
+        F.lit("lsh_bucket").alias("index_type"),
+        S.lsh_bucket(F.col("qv"), _SIGNS).cast("string").alias("bucket"),
+    )
+    w = (
+        ivf.unionAll(lsh)
+        .groupBy("index_type", "bucket")
+        .agg(F.count("*").alias("width"))
+    )
+    agg = w.groupBy("index_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("width").alias("n_vectors"),
+        F.max("width").alias("max_width"),
+        F.min("width").alias("min_width"),
+    )
+    return agg.select(
+        "index_type",
+        "n_buckets",
+        "n_vectors",
+        "max_width",
+        "min_width",
+        (F.col("n_vectors").cast("double") / F.col("n_buckets")).alias("mean_width"),
+        (
+            F.col("max_width").cast("double") * F.col("n_buckets")
+            / F.col("n_vectors").cast("double")
+        ).alias("imbalance_factor"),
+        F.expr("(1000 * max_width) div n_vectors").alias("max_share_permille"),
+    )

@@ -86,6 +86,28 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return src.dropDuplicates(["event_id", "ts"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup on event_id ALONE via dropDuplicatesWithinWatermark
+    (Spark 3.5+): redeliveries whose timestamps DIFFER (producer retries
+    re-stamping the event — the case dedup_stream's exact-(event_id, ts)
+    key structurally misses) still collapse, while state is evicted once
+    the watermark passes an event's ts.  This is the at-least-once
+    ingestion contract most event buses actually need: dedup key =
+    business id, watermark = the redelivery horizon.
+
+    Scale: state holds one entry per distinct event_id seen within the
+    watermark horizon — bounded by arrival rate × horizon, independent of
+    total stream length.  Batch twin: plain dropDuplicates on event_id
+    (batch has no watermark; the whole input is the horizon)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The testdata has shipped
     ts in two vintages (INT64 TIMESTAMP(NANOS); plain TIMESTAMP micros), and
