@@ -1170,3 +1170,159 @@ def sim14_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance_factor"),
         F.expr("(1000 * max_width) div n_vectors").alias("max_share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim15 — margin-based kNN scoring (bitext-mining primitive)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4
+
+_SIM15_COS = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+)
+
+_SIM15_SQL = f"""WITH q0 AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        q1 AS (
+          SELECT vec_id, label, qv,
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+          FROM q0),
+        sa AS (SELECT * FROM q1 WHERE label % 2 = 0),
+        sb AS (SELECT * FROM q1 WHERE label % 2 = 1),
+        qa AS (SELECT * FROM sa WHERE vec_id % 50 = 0),
+        s1 AS (
+          SELECT qa.vec_id AS query_id, sb.vec_id AS cand_id,
+                 {_SIM15_COS.format(a="qa.qv", b="sb.qv", na="qa.nsq", nb="sb.nsq")} AS cosine
+          FROM qa CROSS JOIN sb),
+        r1 AS (
+          SELECT query_id, cand_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rn
+          FROM s1),
+        k1 AS (SELECT * FROM r1 WHERE rn <= {_MARGIN_K}),
+        mq AS (
+          SELECT query_id,
+                 list_reduce(list(cosine ORDER BY cosine, cand_id), (a, b) -> a + b) AS sum_q
+          FROM k1 GROUP BY query_id),
+        cset AS (SELECT DISTINCT cand_id FROM k1),
+        s2 AS (
+          SELECT c.cand_id, sa.vec_id AS back_id,
+                 {_SIM15_COS.format(a="cb.qv", b="sa.qv", na="cb.nsq", nb="sa.nsq")} AS cosine
+          FROM cset c JOIN sb cb ON cb.vec_id = c.cand_id CROSS JOIN sa),
+        r2 AS (
+          SELECT cand_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                                    ORDER BY cosine DESC, back_id) AS rn
+          FROM s2),
+        mc AS (
+          SELECT cand_id,
+                 list_reduce(list(cosine ORDER BY cosine, rn), (a, b) -> a + b) AS sum_c
+          FROM r2 WHERE rn <= {_MARGIN_K} GROUP BY cand_id)
+        SELECT k1.query_id, k1.cand_id, k1.cosine,
+               ({2.0 * _MARGIN_K} * k1.cosine) / (mq.sum_q + mc.sum_c) AS margin
+        FROM k1
+        JOIN mq ON mq.query_id = k1.query_id
+        JOIN mc ON mc.cand_id = k1.cand_id
+        WHERE k1.rn = 1"""
+
+
+@query("sim15_margin_knn", _SIM15_SQL)
+def sim15_margin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based kNN scoring — the bitext/parallel-pair mining
+    primitive (Artetxe & Schwenk 2019; the CCMatrix recipe): a raw
+    cosine threshold can't separate true cross-side matches from hubs
+    (vectors near EVERYTHING), so each sampled query x on side A (even
+    labels) is paired with its best match y on side B (odd labels) and
+    scored by the RATIO margin — cos(x,y) normalized by the mean of
+    both endpoints' k-NN cosines (k=4): margin = 2k·cos(x,y) /
+    (Σ kNN-cos(x→B) + Σ kNN-cos(y→A)).  Hubs get high denominators and
+    drop; isolated true pairs stand out.  Float determinism: each kNN
+    denominator is a LEFT FOLD over the rank-ordered cosine list
+    (array_sort + aggregate on Spark, list(ORDER BY) + list_reduce on
+    DuckDB — identical addition order, identical doubles), and cosine
+    itself is the catalog's single double chain.
+
+    Scale: side-B scoring for the sampled queries is the documented
+    brute-force truth shape (sim01 contract) — production swaps the
+    sim12 IVF-PQ index for both directions; the back-direction only
+    scores the ≤|Q|·k DISTINCT candidates, never all of B.  Folds are
+    per-key over k=4 values; joins are broadcast-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    q1 = emb.select(
+        "vec_id", "label", S.quantize("embedding").alias("qv")
+    ).withColumn("nsq", S.int_norm_sq(F.col("qv")))
+    sa = q1.filter(F.col("label") % 2 == 0)
+    sb = q1.filter(F.col("label") % 2 == 1)
+    qa = sa.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    s1 = (
+        F.broadcast(qa)
+        .crossJoin(sb.select(F.col("vec_id").alias("cand_id"), "qv", "nsq"))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_from_ints(
+                S.int_dot(F.col("q_qv"), F.col("qv")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    k1 = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _MARGIN_K)
+        .localCheckpoint(eager=False)  # feeds mq, cset, and the final rn=1 pick
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731 — left fold in ascending order
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    mq = k1.groupBy("query_id").agg(
+        fold(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cosine", "cand_id"))),
+                lambda t: t["cosine"],
+            )
+        ).alias("sum_q")
+    )
+    cset = k1.select("cand_id").distinct()
+    cb = cset.join(
+        sb.select(F.col("vec_id").alias("cand_id"), "qv", "nsq"), "cand_id"
+    ).select("cand_id", F.col("qv").alias("c_qv"), F.col("nsq").alias("c_nsq"))
+    s2 = (
+        F.broadcast(cb)
+        .crossJoin(sa.select(F.col("vec_id").alias("back_id"), "qv", "nsq"))
+        .select(
+            "cand_id",
+            "back_id",
+            S.cosine_from_ints(
+                S.int_dot(F.col("c_qv"), F.col("qv")), F.col("c_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("cand_id").orderBy(F.desc("cosine"), F.asc("back_id"))
+    r2 = s2.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= _MARGIN_K)
+    mc = r2.groupBy("cand_id").agg(
+        fold(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cosine", "rn"))),
+                lambda t: t["cosine"],
+            )
+        ).alias("sum_c")
+    )
+    return (
+        k1.filter(F.col("rn") == 1)
+        .join(mq, "query_id")
+        .join(mc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            (F.lit(2.0 * _MARGIN_K) * F.col("cosine") / (F.col("sum_q") + F.col("sum_c"))).alias("margin"),
+        )
+    )
