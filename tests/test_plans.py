@@ -658,3 +658,57 @@ def test_sim12_broadcast_only_joins(spark):
     plan = plan_of(spark, "sim12_ivfpq_topk")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_d_series_dim_broadcast_and_topk(spark):
+    """Domain twins: the 25-row channel dim must broadcast (never a
+    shuffle join against the derived video fact), and the LIMIT queries
+    must plan as TakeOrderedAndProject, not a global sort."""
+    for name in ("d03_top10_viewed", "d06_likes_top10", "d10_top10_commented"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+    p5 = plan_of(spark, "d05_most_liked_per_channel")
+    assert "BroadcastHashJoin" in p5 and "SortMergeJoin" not in p5
+
+
+def test_histogram_cdf_forms_broadcast_assignment(spark):
+    """sm07a/w08a/ta19a: the cut-point table joins back onto the scores
+    via broadcast — the fact side must never shuffle for the assignment."""
+    for name in (
+        "sm07a_histogram_cdf_sampling",
+        "w08a_global_price_quartile",
+        "ta19a_lm_gate_histogram",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_checkpointed_cdf_legs(spark):
+    """sm07a/ta19a/ev10a: the multiply-consumed score/profile leg is
+    checkpoint-fed (ExistingRDD scan present) so the fact is read once."""
+    for name in (
+        "sm07a_histogram_cdf_sampling",
+        "ta19a_lm_gate_histogram",
+        "ev10a_rfm_segments_approx",
+    ):
+        assert "Scan ExistingRDD" in plan_of(spark, name), name
+
+
+def test_ia03_checkpointed_index(spark):
+    """Incremental LSH maintenance: the band-key index is checkpoint-fed
+    into every consumer (probe join, eval legs) — the signature build
+    must not re-run per leg."""
+    plan = plan_of(spark, "ia03_incremental_lsh_index")
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_sim14_single_pass_no_joins(spark):
+    """Index-balance eval: two projections of one embeddings scan plus
+    combine-friendly aggs — no join of any kind."""
+    plan = plan_of(spark, "sim14_index_balance")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop"):
+        assert j not in plan
