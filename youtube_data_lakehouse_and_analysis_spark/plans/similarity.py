@@ -1117,7 +1117,7 @@ def sim13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(width) AS DOUBLE) / COUNT(*) AS mean_width,
                CAST(MAX(width) AS DOUBLE) * COUNT(*) / CAST(SUM(width) AS DOUBLE)
                  AS imbalance_factor,
-               (1000 * MAX(width)) // SUM(width) AS max_share_permille
+               CAST((1000 * MAX(width)) // SUM(width) AS BIGINT) AS max_share_permille
         FROM w GROUP BY index_type""",
 )
 def sim14_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
