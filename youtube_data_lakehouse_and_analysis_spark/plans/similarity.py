@@ -1326,3 +1326,142 @@ def sim15_margin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0 * _MARGIN_K) * F.col("cosine") / (F.col("sum_q") + F.col("sum_c"))).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim16 — hard-negative mining (contrastive training-pair construction)
+# ---------------------------------------------------------------------------
+
+_HN_K = 8  # candidate pool per anchor: hardest negative must rank in top-K
+
+_SIM16_SQL = f"""WITH q0 AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        q1 AS (
+          SELECT vec_id, label, qv,
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+          FROM q0),
+        anchors AS (SELECT * FROM q1 WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 c.vec_id AS cand_id, c.label AS cand_label,
+                 {_SIM15_COS.format(a="a.qv", b="c.qv", na="a.nsq", nb="c.nsq")} AS cosine
+          FROM anchors a CROSS JOIN q1 c
+          WHERE c.vec_id <> a.vec_id),
+        pos AS (
+          SELECT anchor_id, cand_id AS positive_id, cosine AS positive_cos
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored WHERE cand_label = anchor_label) t
+          WHERE rn = 1),
+        topk AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored) t
+          WHERE rn <= {_HN_K}),
+        neg AS (
+          SELECT anchor_id, cand_id AS negative_id, cosine AS negative_cos,
+                 rn AS negative_rank
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cosine DESC, cand_id) AS nrn
+            FROM topk WHERE cand_label <> anchor_label) t
+          WHERE nrn = 1)
+        SELECT p.anchor_id, p.positive_id, p.positive_cos,
+               n.negative_id, n.negative_cos, CAST(n.negative_rank AS INT) AS negative_rank,
+               p.positive_cos - n.negative_cos AS margin_gap
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id"""
+
+
+@query("sim16_hard_negatives", _SIM16_SQL)
+def sim16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    SBERT / DPR / SimCSE data recipe): per sampled anchor, the strongest
+    SAME-label neighbor becomes the positive and the highest-ranked
+    DIFFERENT-label vector inside the global top-K (K=8) becomes the
+    hard negative — the near-miss that actually moves a contrastive
+    loss, where random negatives are trivially separated.  Reports the
+    triplet with both cosines, the negative's global rank (1 = the
+    negative OUTSCORES every same-label neighbor — a label-noise signal)
+    and the positive-negative margin gap.  Anchors whose top-K is all
+    same-label (no hard negative) drop out, as in production mining.
+
+    Float exactness: cosines are the catalog's single double chain, the
+    gap is one subtraction of two such doubles; ranks break ties on
+    cand_id.
+
+    Scale: the scoring leg is the sampled brute-force truth shape (the
+    sim01 contract — production swaps the sim12 IVF-PQ index); the
+    windows are per-anchor over the |Q|×K candidate pool.  The mined
+    triplet table is exactly what a 100 TB embedding-training pipeline
+    materializes per epoch."""
+    emb = load(spark, sf_dir, "embeddings")
+    q1 = emb.select(
+        "vec_id", "label", S.quantize("embedding").alias("qv")
+    ).withColumn("nsq", S.int_norm_sq(F.col("qv")))
+    anchors = q1.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("qv").alias("a_qv"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(
+            q1.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cand_label"),
+                "qv",
+                "nsq",
+            )
+        )
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            S.cosine_from_ints(
+                S.int_dot(F.col("a_qv"), F.col("qv")), F.col("a_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # feeds the positive and top-K legs
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cosine").alias("positive_cos"),
+        )
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HN_K
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    neg = (
+        topk.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("nrn", F.row_number().over(wn))
+        .filter(F.col("nrn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cosine").alias("negative_cos"),
+            F.col("rn").cast("int").alias("negative_rank"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "positive_cos",
+        "negative_id",
+        "negative_cos",
+        "negative_rank",
+        (F.col("positive_cos") - F.col("negative_cos")).alias("margin_gap"),
+    )
