@@ -1291,7 +1291,7 @@ def sim15_margin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_q")
     )
     cset = k1.select("cand_id").distinct()
-    cb = cset.join(
+    cb = F.broadcast(cset).join(
         sb.select(F.col("vec_id").alias("cand_id"), "qv", "nsq"), "cand_id"
     ).select("cand_id", F.col("qv").alias("c_qv"), F.col("nsq").alias("c_nsq"))
     s2 = (
@@ -1317,8 +1317,8 @@ def sim15_margin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         k1.filter(F.col("rn") == 1)
-        .join(mq, "query_id")
-        .join(mc, "cand_id")
+        .join(F.broadcast(mq), "query_id")
+        .join(F.broadcast(mc), "cand_id")
         .select(
             "query_id",
             "cand_id",
@@ -1456,7 +1456,7 @@ def sim16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("negative_rank"),
         )
     )
-    return pos.join(neg, "anchor_id").select(
+    return pos.join(F.broadcast(neg), "anchor_id").select(
         "anchor_id",
         "positive_id",
         "positive_cos",
