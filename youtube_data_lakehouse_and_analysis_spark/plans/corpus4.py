@@ -532,3 +532,118 @@ def sm07b_cdf_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(agree).cast("double") / F.count("*")).alias("agree_rate"),
         F.max(F.abs(F.col("q_exact") - F.col("q_approx"))).cast("int").alias("max_bucket_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm10 — length-bucketed batching manifest (the seq2seq batching recipe)
+# ---------------------------------------------------------------------------
+
+_SM10_BANDS = (16, 32, 64, 128, 256, 512, 1024)
+_SM10_B = 32  # batch size
+
+
+def _band_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _SM10_BANDS
+    )
+    return f"CASE {whens} ELSE {_SM10_BANDS[-1]} END"
+
+
+_SM10_SQL = f"""WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    banded AS (
+      SELECT doc_id, n_tokens,
+             CAST({_band_case_sql()} AS INT) AS band
+      FROM t),
+    per_band AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST((COUNT(*) + {_SM10_B} - 1) // {_SM10_B} AS BIGINT) AS n_batches
+      FROM banded GROUP BY band),
+    shaped AS (
+      SELECT band, n_docs, sum_tokens, n_batches,
+             CAST(n_batches * {_SM10_B} * band AS BIGINT) AS padded_tokens
+      FROM per_band),
+    unbucketed AS (
+      SELECT CAST(-1 AS INT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST((COUNT(*) + {_SM10_B} - 1) // {_SM10_B} AS BIGINT) AS n_batches,
+             CAST(((COUNT(*) + {_SM10_B} - 1) // {_SM10_B}) * {_SM10_B} * MAX(n_tokens) AS BIGINT)
+               AS padded_tokens
+      FROM t)
+    SELECT band, n_docs, sum_tokens, n_batches, padded_tokens,
+           (1000 * (padded_tokens - sum_tokens)) // padded_tokens AS waste_permille
+    FROM (SELECT * FROM shaped UNION ALL SELECT * FROM unbucketed) u"""
+
+
+@query("sm10_length_bucketed_batches", _SM10_SQL)
+def sm10_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching manifest — the classic seq2seq batching
+    recipe (bucket by length band, pad only to the band edge) priced
+    against naive pad-to-global-max batching (the band = -1 row): per
+    power-of-two length band, doc count, exact token mass, batch count
+    at B=32, padded token slots, and the integer permille padding waste.
+    The delta between the banded rows' waste and the -1 row's waste IS
+    the throughput argument for bucketing, measured on this corpus.
+    Complements ta13 (fixed-context PACKING, concat-and-chunk) with the
+    padding-based discipline encoder/seq2seq training uses.
+
+    Scale: token counts are map-side expressions on the scan; one
+    combine-friendly groupBy over ≤|bands| groups and a 1-row global
+    agg — no joins, no windows, all integer arithmetic (floor division
+    identical on both engines)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    band = F.lit(_SM10_BANDS[-1])
+    for b in reversed(_SM10_BANDS):
+        band = F.when(F.col("n_tokens") <= b, b).otherwise(band)
+    per_band = (
+        t.select(band.cast("int").alias("band"), "n_tokens")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "sum_tokens",
+            F.expr(f"(n_docs + {_SM10_B} - 1) div {_SM10_B}").alias("n_batches"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "sum_tokens",
+            "n_batches",
+            (F.col("n_batches") * _SM10_B * F.col("band")).cast("bigint").alias("padded_tokens"),
+        )
+    )
+    unbucketed = (
+        t.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("band"),
+            "n_docs",
+            "sum_tokens",
+            F.expr(f"(n_docs + {_SM10_B} - 1) div {_SM10_B}").alias("n_batches"),
+            F.expr(
+                f"((n_docs + {_SM10_B} - 1) div {_SM10_B}) * {_SM10_B} * max_tokens"
+            ).cast("bigint").alias("padded_tokens"),
+        )
+    )
+    return per_band.unionAll(unbucketed).select(
+        "band",
+        "n_docs",
+        "sum_tokens",
+        "n_batches",
+        "padded_tokens",
+        F.expr("(1000 * (padded_tokens - sum_tokens)) div padded_tokens").alias(
+            "waste_permille"
+        ),
+    )
