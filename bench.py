@@ -88,6 +88,12 @@ EXTENDED = [
     "ev10a_rfm_segments_approx",
     "w08a_global_price_quartile",
     "d05_most_liked_per_channel",
+    # r7 batch-3: maintenance/graph/mining additions
+    "ia03_incremental_lsh_index",
+    "gr04_kcore_peel",
+    "sim15_margin_knn",
+    "sim16_hard_negatives",
+    "sm10_length_bucketed_batches",
 ]
 
 
