@@ -763,3 +763,146 @@ def sk03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm").alias("cm_estimate"),
         (F.col("cm") - F.col("n")).alias("overcount"),
     ).orderBy(F.desc("n_exact"), F.asc("word"))
+
+
+# ---------------------------------------------------------------------------
+# sk04 — theta-sketch A-NOT-B (set difference at sketch cost)
+# ---------------------------------------------------------------------------
+
+_SK04_SCALE = repr(float(1 << 60))  # hash-space size as an exact double literal
+_SK04_YA, _SK04_YB = 1995, 1996
+
+
+def _sk04_sql() -> str:
+    from ..functions.text import sql_md5_prefix_long
+
+    h = sql_md5_prefix_long("CAST(o_custkey AS VARCHAR)", 15)
+    return f"""WITH h AS (
+          SELECT DISTINCT year(o_orderdate) AS side, {h} AS h FROM orders
+          WHERE year(o_orderdate) IN ({_SK04_YA}, {_SK04_YB})),
+        ranked AS (
+          SELECT side, h,
+                 ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+          FROM h),
+        sk AS (SELECT side, h FROM ranked WHERE rn <= {_KMV_K}),
+        theta AS (
+          SELECT LEAST(
+            (SELECT CAST(MAX(h) AS BIGINT) FROM sk WHERE side = {_SK04_YA}),
+            (SELECT CAST(MAX(h) AS BIGINT) FROM sk WHERE side = {_SK04_YB})
+          ) AS th),
+        anb AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS retained FROM sk a, theta t
+          WHERE a.side = {_SK04_YA} AND a.h < t.th
+            AND NOT EXISTS (SELECT 1 FROM sk b
+                            WHERE b.side = {_SK04_YB} AND b.h = a.h)),
+        bna AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS retained FROM sk b, theta t
+          WHERE b.side = {_SK04_YB} AND b.h < t.th
+            AND NOT EXISTS (SELECT 1 FROM sk a
+                            WHERE a.side = {_SK04_YA} AND a.h = b.h)),
+        exact AS (
+          SELECT
+            CAST(COUNT(DISTINCT CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NULL
+                                     THEN a.o_custkey END) AS BIGINT) AS n_a_not_b,
+            CAST(COUNT(DISTINCT CASE WHEN b.o_custkey IS NOT NULL AND a.o_custkey IS NULL
+                                     THEN b.o_custkey END) AS BIGINT) AS n_b_not_a
+          FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {_SK04_YA}) a
+          FULL OUTER JOIN
+               (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {_SK04_YB}) b
+          ON a.o_custkey = b.o_custkey)
+        SELECT e.n_a_not_b AS n_a_not_b_exact,
+               (SELECT (CAST(retained AS DOUBLE) * {_SK04_SCALE}) / CAST(t.th AS DOUBLE)
+                FROM anb, theta t) AS est_a_not_b,
+               (SELECT retained FROM anb) AS retained_a_not_b,
+               e.n_b_not_a AS n_b_not_a_exact,
+               (SELECT (CAST(retained AS DOUBLE) * {_SK04_SCALE}) / CAST(t.th AS DOUBLE)
+                FROM bna, theta t) AS est_b_not_a,
+               (SELECT retained FROM bna) AS retained_b_not_a,
+               (SELECT CAST(th AS BIGINT) FROM theta) AS theta_int
+        FROM exact e"""
+
+
+@query("sk04_theta_a_not_b", _sk04_sql())
+def sk04_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B (the Datasketches set-DIFFERENCE operation,
+    completing sk02's union/intersection algebra) over customer order
+    vintages — "who bought in 1995 but not 1996" (churn) and its
+    converse (acquisition), the cardinalities a retention team reads
+    daily.  Clip both KMV sketches to the shared threshold θ =
+    min(θ_A, θ_B), retain A-sketch entries below θ absent from B's
+    sketch (exact 60-bit hash equality — no false positives), estimate
+    |A∖B| = retained · 2⁶⁰ / θ.  Both directions reported against their
+    exact legs (sk01/sk02 discipline), with retained counts and θ
+    exposed so the estimator's inputs are auditable.  The events-table
+    sides were rejected for this op on purpose: every synthetic user
+    does every event type, so the vintage split is the one real
+    difference in the testdata.
+
+    Scale: sketches are K=32 hashes per side regardless of order
+    volume, so the A-NOT-B combine is trivial at any scale; the exact
+    legs (full-outer distinct join) exist only for the eval.
+    Determinism: integer hashes, LEAST/MAX over integers, one double
+    chain per estimate."""
+    from ..functions.text import md5_prefix_long
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("side"), "o_custkey"
+    ).filter(F.col("side").isin(_SK04_YA, _SK04_YB))
+    h = o.select(
+        "side", md5_prefix_long(F.col("o_custkey").cast("string"), 15).alias("h")
+    ).distinct()
+    w = Window.partitionBy("side").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("side", "h")
+        .localCheckpoint(eager=False)  # four consumers: theta + both difference legs
+    )
+    theta = sk.groupBy("side").agg(F.max("h").alias("hk")).agg(
+        F.min("hk").alias("th")
+    )
+    ska = sk.filter(F.col("side") == _SK04_YA).select("h")
+    skb = sk.filter(F.col("side") == _SK04_YB).select("h")
+
+    def retained(side_df, other):
+        return (
+            side_df.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") < F.col("th"))
+            .join(other, "h", "left_anti")
+            .agg(F.count("*").alias("retained"))
+        )
+
+    anb = retained(ska, skb)
+    bna = retained(skb, ska)
+    ua = o.filter(F.col("side") == _SK04_YA).select("o_custkey").distinct()
+    ub = (
+        o.filter(F.col("side") == _SK04_YB)
+        .select(F.col("o_custkey").alias("custkey_b"))
+        .distinct()
+    )
+    exact = ua.join(ub, ua["o_custkey"] == ub["custkey_b"], "full_outer").agg(
+        F.countDistinct(
+            F.when(F.col("o_custkey").isNotNull() & F.col("custkey_b").isNull(), F.col("o_custkey"))
+        ).alias("n_a_not_b"),
+        F.countDistinct(
+            F.when(F.col("custkey_b").isNotNull() & F.col("o_custkey").isNull(), F.col("custkey_b"))
+        ).alias("n_b_not_a"),
+    )
+    est = lambda r: (  # noqa: E731 — one double chain, literal scale
+        F.col(r).cast("double") * F.lit(float(1 << 60)) / F.col("th").cast("double")
+    )
+    return (
+        exact.crossJoin(anb.withColumnRenamed("retained", "retained_a_not_b"))
+        .crossJoin(bna.withColumnRenamed("retained", "retained_b_not_a"))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.col("n_a_not_b").alias("n_a_not_b_exact"),
+            est("retained_a_not_b").alias("est_a_not_b"),
+            "retained_a_not_b",
+            F.col("n_b_not_a").alias("n_b_not_a_exact"),
+            est("retained_b_not_a").alias("est_b_not_a"),
+            "retained_b_not_a",
+            F.col("th").alias("theta_int"),
+        )
+    )
