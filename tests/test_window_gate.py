@@ -12,6 +12,17 @@ exact truth leg is the point.
 
 Any new query that introduces a global window fails here until justified —
 the mechanical invariant the docstring promises used to carry alone.
+
+Known blind spot: legs wrapped in localCheckpoint(eager=False) appear as
+LogicalRDD leaves in the optimized plan, so windows INSIDE them escape
+this sweep.  Audit of every checkpointed leg in the catalog (r7): gr03
+edges, dd21 truth/cand, pp02 affinity, ia03 tagged, sim15 k1/scored,
+sim16 scored, sm07a/ta19a/ev10a score legs, sk04 sketches — none contains
+an unpartitioned window over unbounded input; sk02's union-sketch leg DID
+(a global row_number over all distinct hashes) and was rewritten r7 to
+the two-phase per-partition-heads + bounded-merge form (_topk_smallest in
+plans/corpus6.py), whose only global window runs over <= K x n_partitions
+rows.  Any new checkpointed leg must be added to this audit note.
 """
 
 from __future__ import annotations

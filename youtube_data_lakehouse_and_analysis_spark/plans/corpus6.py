@@ -533,6 +533,33 @@ _KMV_A, _KMV_B = "click", "view"
 _KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
 
 
+def _topk_smallest(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Exact k-smallest `h` per group, TWO-PHASE: per-input-partition heads
+    first (parallel — bounded work per task), then the merge window over
+    <= k x n_partitions surviving rows.  A single row_number() over the
+    group would sort the ENTIRE distinct-hash stream in one task per group
+    (sk02's original union leg was the worst case: one global partition) —
+    this is the production form, and its correctness IS the KMV merge
+    property pinned by tests/test_sketch_merge.py: per-partition synopses
+    merged equal the global synopsis under any layout."""
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*group_cols, "_pid").orderBy("h")
+    w2 = (
+        Window.partitionBy(*group_cols).orderBy("h")
+        if group_cols
+        else Window.orderBy("h")  # merge leg: <= k * n_partitions rows
+    )
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_pid", "_rn", "_rn2")
+    )
+
+
 def _sk02_sql() -> str:
     from ..functions.text import sql_md5_prefix_long
 
@@ -610,8 +637,7 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select(
         "event_type", md5_prefix_long(F.col("user_id").cast("string"), 15).alias("h")
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    sk = _topk_smallest(h, ["event_type"], _KMV_K)
     est_expr = (
         f"CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE) "
         f"ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END"
@@ -623,8 +649,7 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uh = h.select("h").distinct()
     usk = (
-        uh.withColumn("rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rn") <= _KMV_K)
+        _topk_smallest(uh, [], _KMV_K)
         .select("h")
         .localCheckpoint(eager=False)  # feeds ustats, common, and the cap
     )
@@ -852,10 +877,8 @@ def sk04_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = o.select(
         "side", md5_prefix_long(F.col("o_custkey").cast("string"), 15).alias("h")
     ).distinct()
-    w = Window.partitionBy("side").orderBy("h")
     sk = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
+        _topk_smallest(h, ["side"], _KMV_K)
         .select("side", "h")
         .localCheckpoint(eager=False)  # four consumers: theta + both difference legs
     )
