@@ -44,6 +44,7 @@ WHITELIST = {
     "w08a_global_price_quartile": "CDF window over whole-dollar price histogram (domain-bounded)",
     "ta19a_lm_gate_histogram": "CDF window over the integer LM-score histogram (domain-bounded)",
     "po01_mom_growth": "lag over one-row-per-month rollup (bounded by calendar)",
+    "w13_gini_concentration": "prefix sums over the whole-dollar spend histogram (domain-bounded)",
     "ta20_merge_apply": "row_number over the top-_N_MERGES merge list (8 rows)",
     "sim11_pq_topk": "rank over per-query limit(K) candidate set (bounded by K)",
     "sim12_ivfpq_topk": "rank over per-query limit(K) candidate set (bounded by K)",

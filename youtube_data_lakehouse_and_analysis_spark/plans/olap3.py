@@ -650,3 +650,95 @@ def w08b_global_quartile_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("ok").alias("n_agree"),
         (F.sum("ok").cast("double") / F.count("*")).alias("agree_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w13 — Gini concentration of customer spend, exact integers over the
+# histogram (no per-row global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w13_gini_concentration",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY o_custkey),
+       hist AS (
+         SELECT cents // 100 AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM per_cust GROUP BY cents // 100),
+       pre AS (
+         SELECT v, c,
+                COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt,
+                COALESCE(SUM(v * c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS val_lt
+         FROM hist),
+       agg AS (
+         SELECT CAST(SUM(c * (v * cnt_lt - val_lt)) AS BIGINT) AS half_abs_diff_sum,
+                CAST(SUM(c) AS BIGINT) AS n,
+                CAST(SUM(v * c) AS BIGINT) AS total_cents
+         FROM pre)
+       SELECT n AS n_customers,
+              total_cents AS total_dollars,
+              half_abs_diff_sum * 2 AS abs_diff_sum,
+              CAST(half_abs_diff_sum * 2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(total_cents AS DOUBLE) / CAST(n AS DOUBLE)))
+                AS gini
+       FROM agg""",
+)
+def w13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend at WHOLE-DOLLAR grain —
+    the revenue-concentration statistic ("do 20% of customers carry 80%
+    of revenue") without any per-row global sort: Σᵢⱼ|xᵢ−xⱼ| unrolls
+    over the dollar-spend histogram as 2·Σ_b c_b·(v_b·cnt_below −
+    val_below), with the prefix sums over the SORTED HISTOGRAM, all in
+    BIGINT; Gini = Σ|diff| / (n²·mean) is the single double chain at
+    the end.  The dollar grain is the scalability decision, made
+    explicit: exact-cents per-customer totals are nearly UNIQUE, so
+    their "histogram" degenerates to one row per customer and the
+    prefix window back to a global sort — binning to dollars bounds the
+    domain by the spend RANGE (w08a's recipe) at a ≤1-dollar-per-pair
+    quantization whose effect on Gini is < $1/mean relative.  Fifth
+    instance of the r7 histogram pattern.
+
+    Overflow bound: v ≤ ~6·10⁵ dollars, cnt_lt ≤ n ≤ 10⁷ at sf100, so
+    v·cnt_lt ≤ 6·10¹² and the c·(…) sums stay far under 2⁶³.
+
+    Scale: one per-customer shuffle (combine-friendly SUM), one
+    histogram shuffle, prefix windows over the bounded histogram
+    (plan-gate whitelisted), one 1-row reduce.  No joins."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum((dec2("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    hist = per_cust.groupBy(
+        F.expr("cents div 100").alias("v")
+    ).agg(F.count("*").alias("c"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = hist.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("cnt_lt"),
+        F.coalesce(F.sum(F.col("v") * F.col("c")).over(w_prev), F.lit(0)).alias("val_lt"),
+    )
+    agg = pre.agg(
+        F.sum(F.col("c") * (F.col("v") * F.col("cnt_lt") - F.col("val_lt"))).alias("half_abs_diff_sum"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("total_cents"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total_cents").alias("total_dollars"),
+        (F.col("half_abs_diff_sum") * 2).alias("abs_diff_sum"),
+        (
+            (F.col("half_abs_diff_sum") * 2).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * (F.col("total_cents").cast("double") / F.col("n").cast("double"))
+            )
+        ).alias("gini"),
+    )
