@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # all strict-local-verified at sf0.01 and sf0.1): ta19a_lm_gate_histogram,
 # ta19b_lm_gate_agreement, ia03_incremental_lsh_index, gr04_kcore_peel,
 # sim14_index_balance, sim15_margin_knn, sim16_hard_negatives,
-# sm10_length_bucketed_batches, sk04_theta_a_not_b, w13_gini_concentration.
+# sm10_length_bucketed_batches, sk04_theta_a_not_b, w13_gini_concentration,
+# dq04_column_profile.
 _SAMPLE_PRIORITY = [
     # --- (a) the 34 never-driver-sampled queries (through r6) ---
     "pp02_llm_corpus_build", "sim12_ivfpq_topk", "sim13_pq_recall",

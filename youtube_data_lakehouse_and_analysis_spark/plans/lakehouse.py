@@ -511,3 +511,71 @@ def dq02_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("abs_diff").cast("double").alias("max_abs_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq04 — one-pass column profiler (the Deequ-profiler capability)
+# ---------------------------------------------------------------------------
+
+# (column, portable stringified expression): exact-representation types
+# only — BIGINT and VARCHAR stringify identically on both engines, and the
+# timestamp goes through DATE first so both render 'YYYY-MM-DD'.  DOUBLE
+# columns are excluded by design: float->string rendering is
+# engine-specific (see a11's decimal quantization note).
+_DQ04_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS {S})"),
+    ("o_custkey", "CAST(o_custkey AS {S})"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS {S})"),
+]
+
+
+def _dq04_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {e.format(S='VARCHAR')} AS v FROM orders"
+        for c, e in _DQ04_COLS
+    )
+    return f"""WITH long AS ({legs})
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               MIN(v) AS min_str,
+               MAX(v) AS max_str
+        FROM long GROUP BY col_name"""
+
+
+@query("dq04_column_profile", _dq04_sql())
+def dq04_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over the orders table — the
+    Deequ/Great-Expectations "profile before you write expectations"
+    capability next to dq01's expectation CHECKS: per column, row count,
+    null count, exact distinct count, and lexicographic min/max of the
+    portable string form.  Long-form (column, value) via a single stack
+    explode, so every column's profile comes from ONE scan — the
+    per-column-subquery form dq01's docstring already rejects would
+    re-read the table once per column.
+
+    min/max are defined over the STRINGIFIED value (binary collation —
+    identical on both engines); numeric-order extremes for exact types
+    are a08's min/max stats.  DOUBLE columns are excluded by design:
+    float→string rendering is engine-specific.
+
+    Scale: one scan + one (col_name)-keyed exchange; the distinct count
+    is exact per column (the profiler contract) — at 100 TB swap
+    approx_count_distinct per column (a03's trade) or sk01's mergeable
+    registers."""
+    legs = ", ".join(
+        f"'{c}', {e.format(S='STRING')}" for c, e in _DQ04_COLS
+    )
+    long = load(spark, sf_dir, "orders").select(
+        F.expr(f"stack({len(_DQ04_COLS)}, {legs}) AS (col_name, v)")
+    )
+    return long.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )
