@@ -120,3 +120,31 @@ def test_countmin_rows_merge_invariant(spark):
             for r in level1.groupBy("s", "cell").agg(F.sum("c").alias("c")).collect()
         }
         assert merged == glob, f"CMS cell merge diverged at {k} partitions"
+
+
+def test_topk_smallest_partitioning_invariant(spark):
+    """The two-phase per-partition-heads + bounded-merge top-K (the r7
+    rewrite of sk02/sk04's sketch construction) must return exactly the
+    global K smallest per group under ANY input layout."""
+    from youtube_data_lakehouse_and_analysis_spark.plans.corpus6 import (
+        _topk_smallest,
+    )
+
+    h = _hashed_events(spark)
+    base = {
+        (r["event_type"], r["h"])
+        for r in _topk_smallest(h, ["event_type"], _KMV_K).collect()
+    }
+    assert base
+    for k in LAYOUTS:
+        alt = {
+            (r["event_type"], r["h"])
+            for r in _topk_smallest(h.repartition(k), ["event_type"], _KMV_K).collect()
+        }
+        assert alt == base, f"two-phase top-K diverged at {k} partitions"
+    # ungrouped (union-sketch) form
+    uh = h.select("h").distinct()
+    ubase = {r["h"] for r in _topk_smallest(uh, [], _KMV_K).collect()}
+    for k in LAYOUTS:
+        ualt = {r["h"] for r in _topk_smallest(uh.repartition(k), [], _KMV_K).collect()}
+        assert ualt == ubase, f"ungrouped two-phase top-K diverged at {k} partitions"
