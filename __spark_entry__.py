@@ -26,46 +26,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 7 completes the gate-surface rotation: (a) the
-# 34 names never driver-sampled through r6 (all late round-6 additions;
-# every one passed the judge's independent strict local run and
-# tools/verify_local.py this round), then (b) this round's 16 new
-# queries — the histogram-CDF production forms + agreement evals of the
-# global-NTILE operators (verdict r6 ask #3) and the reference-schema
-# domain twins d01-d10 (ask #6).  With this sample, every query oracled
-# as of the r6 cut has been driver-sampled at least once.  gr03 is
-# re-listed (changed this round: degree-oriented wedge generation).
-# Queued for the r8 sample (added after this round's 50 slots filled,
-# all strict-local-verified at sf0.01 and sf0.1): ta19a_lm_gate_histogram,
-# ta19b_lm_gate_agreement, ia03_incremental_lsh_index, gr04_kcore_peel,
-# sim14_index_balance, sim15_margin_knn, sim16_hard_negatives,
-# sm10_length_bucketed_batches, sk04_theta_a_not_b, w13_gini_concentration,
-# dq04_column_profile.
+# in dict order.  Round 8 finishes the gate-surface rotation: (a) the 11
+# late-round-7 queries the r7 verdict queued (its ask #1) — after this
+# sample, EVERY oracled query in the catalog has been driver-sampled at
+# least once; (b) the queries whose code changed in round 8 (ADVICE.md
+# fixes: w13's Gini normalization — listed in (a) — and the d04/d06/d10
+# channel_name projection); (c) spot re-checks weighted toward the
+# operators changed most recently (gr03 degree-oriented rewrite, sk02
+# two-phase top-K, the checkpoint-fed histogram-CDF forms) plus a spread
+# across every query family (joins, aggs, windows, dedup, ANN, events,
+# TPC-H, SCD/CDC, text, pandas-ops).
 _SAMPLE_PRIORITY = [
-    # --- (a) the 34 never-driver-sampled queries (through r6) ---
-    "pp02_llm_corpus_build", "sim12_ivfpq_topk", "sim13_pq_recall",
-    "sk01_hll_from_scratch", "sk02_kmv_set_ops",
-    "sk03_countmin_heavy_hitters", "gr03_triangle_count",
-    "mm06_modality_packing", "as03_asof_forward", "dd18_containment_pairs",
-    "dd20_char_window_dup_mass", "dd21_lsh_band_eval",
-    "dq02_order_reconciliation", "dq03_vintage_drift",
-    "ev10_rfm_segments", "ev12_dau_wau", "ev13_cohort_ltv",
-    "ev14_time_decay_scores", "fe03_quality_classifier",
-    "gr02_butterfly_count", "h17_small_qty_avg_yearly",
-    "h18_large_volume_topk", "ir02_bm25", "pd04_map_in_arrow",
-    "scd02_point_in_time", "sim09_ann_recall", "sim11_pq_topk",
-    "sm08_epoch_shuffle_manifest", "sm09_dsir_affinity",
-    "ta17_langid_confusion", "ta18_keywords", "ta19_lm_quality_gate",
-    "ta20_merge_apply", "w12_pareto_curve",
-    # --- (b) round-7 additions (16 slots) ---
+    # --- (a) the 11 queued late-r7 queries (r7 verdict ask #1) ---
+    "ta19a_lm_gate_histogram", "ta19b_lm_gate_agreement",
+    "ia03_incremental_lsh_index", "gr04_kcore_peel",
+    "sim14_index_balance", "sim15_margin_knn", "sim16_hard_negatives",
+    "sm10_length_bucketed_batches", "sk04_theta_a_not_b",
+    "w13_gini_concentration", "dq04_column_profile",
+    # --- (b) changed in round 8 (ADVICE.md: channel_name projection) ---
+    "d04_comments_per_video", "d06_likes_top10", "d10_top10_commented",
+    # --- (c) re-checks: recently-changed operators first ---
+    "gr03_triangle_count", "sk02_kmv_set_ops",
     "sm07a_histogram_cdf_sampling", "sm07b_cdf_ntile_agreement",
     "ev10a_rfm_segments_approx", "ev10b_rfm_agreement",
     "w08a_global_price_quartile", "w08b_global_quartile_agreement",
-    "d01_channel_names", "d02_channels_most_videos", "d03_top10_viewed",
-    "d04_comments_per_video", "d05_most_liked_per_channel",
-    "d06_likes_top10", "d07_views_per_channel",
-    "d08_channels_published_2022", "d09_avg_duration_per_channel",
-    "d10_top10_commented",
+    # --- (c) family spread ---
+    "q05_groupwise_max", "q05_groupwise_max_window",
+    "a01_pricing_summary", "a04_rollup", "a08_grouping_sets",
+    "w01_topk_per_group", "w09_sliding_median", "w11_running_distinct",
+    "j05_star_join", "j10_not_in_subquery", "j16_lateral_topn",
+    "rc01_recursive_date_spine",
+    "dd01_exact_dedup", "dd03_lsh_candidate_pairs",
+    "dd08_canonical_corpus", "dd17_bloom_decontaminate",
+    "sim01_bruteforce_topk", "sim06_kmeans_step", "sim10_multiprobe_recall",
+    "sm01_deterministic_sample", "ta05_bpe_token_count",
+    "ev01_funnel", "ev06_transition_matrix", "ses01_gap_sessions",
+    "scd01_scd2_history", "mg01_apply_changes",
+    "f07_json_extract", "h08_market_share",
 ]
 
 

@@ -13,25 +13,35 @@ exact truth leg is the point.
 Any new query that introduces a global window fails here until justified —
 the mechanical invariant the docstring promises used to carry alone.
 
-Known blind spot: legs wrapped in localCheckpoint(eager=False) appear as
-LogicalRDD leaves in the optimized plan, so windows INSIDE them escape
-this sweep.  Audit of every checkpointed leg in the catalog (r7): gr03
-edges, dd21 truth/cand, pp02 affinity, ia03 tagged, sim15 k1/scored,
-sim16 scored, sm07a/ta19a/ev10a score legs, sk04 sketches — none contains
-an unpartitioned window over unbounded input; sk02's union-sketch leg DID
-(a global row_number over all distinct hashes) and was rewritten r7 to
-the two-phase per-partition-heads + bounded-merge form (_topk_smallest in
-plans/corpus6.py), whose only global window runs over <= K x n_partitions
-rows.  Any new checkpointed leg must be added to this audit note.
+Checkpoint blind spot — CLOSED (r7 verdict ask #2): legs wrapped in
+``localCheckpoint(eager=False)`` surface as opaque LogicalRDD leaves, so
+a window inside one is invisible to a plan walk.  Every lineage
+truncation in the engine now goes through ``catalog.checkpoint`` (a grep
+test below enforces this), and the sweep runs with
+``SPARK_GRAFT_NO_CHECKPOINT=1``, which turns the helper into identity —
+the FULL logical plan, including every formerly-checkpointed leg, is
+visible to the walk.  ``test_gate_sees_inside_checkpointed_legs`` proves
+the mechanism with a deliberately-hidden global window.
 """
 
 from __future__ import annotations
 
+import os
+import pathlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 import __spark_entry__ as entrymod
+from youtube_data_lakehouse_and_analysis_spark.catalog import checkpoint
 
 from .conftest import SF_DIR
 
-# query name -> justification for every unpartitioned Window in its plan
+# query name -> justification for every unpartitioned Window in its plan.
+# The sweep sees INSIDE checkpointed legs, so bounded windows that hide
+# there in production plans are justified here too.
 WHITELIST = {
     # exact/definitional forms whose production swap is in the catalog
     "sm07_quality_weighted_sampling": "exact NTILE on per-doc score table; production swap = sm07a",
@@ -56,6 +66,18 @@ WHITELIST = {
     "ta19b_lm_gate_agreement": "eval: exact-NTILE truth leg + bounded CDF leg",
 }
 
+# Windows that only exist inside (formerly) checkpointed legs — invisible
+# to the r7 sweep, now seen and justified.  Kept separate from WHITELIST
+# so test_whitelist_has_no_stale_entries can assert each one is visible
+# ONLY under the no-checkpoint flag (i.e. the entry documents a window
+# inside a truncated leg, not a plain global window).
+CHECKPOINTED_LEG_WHITELIST = {
+    "sk02_kmv_set_ops": (
+        "two-phase top-K union sketch (_topk_smallest): the only global "
+        "window runs over the <= K x n_partitions per-partition heads"
+    ),
+}
+
 
 def _unpartitioned_windows(df) -> list[str]:
     plan = df._jdf.queryExecution().optimizedPlan()
@@ -72,12 +94,19 @@ def _unpartitioned_windows(df) -> list[str]:
     return acc
 
 
-def test_no_unwhitelisted_global_windows(spark):
+@pytest.fixture
+def no_checkpoint(monkeypatch):
+    """Make catalog.checkpoint identity so plan walks see inside legs."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+
+
+def test_no_unwhitelisted_global_windows(spark, no_checkpoint):
     queries = entrymod.queries()
+    allowed = WHITELIST.keys() | CHECKPOINTED_LEG_WHITELIST.keys()
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
         wins = _unpartitioned_windows(fn(spark, SF_DIR))
-        if wins and name not in WHITELIST:
+        if wins and name not in allowed:
             offenders[name] = wins
     assert not offenders, (
         "unpartitioned Window over possibly-unbounded input in: "
@@ -87,16 +116,85 @@ def test_no_unwhitelisted_global_windows(spark):
     )
 
 
-def test_whitelist_has_no_stale_entries(spark):
+def test_whitelist_has_no_stale_entries(spark, no_checkpoint):
     """Every whitelisted query must still exist and still contain an
     unpartitioned window — entries must not outlive the code they
-    justify."""
+    justify.  CHECKPOINTED_LEG_WHITELIST entries must additionally be
+    INVISIBLE without the flag (else they belong in WHITELIST)."""
     queries = entrymod.queries()
-    stale = [n for n in WHITELIST if n not in queries]
+    stale = [
+        n for n in (WHITELIST.keys() | CHECKPOINTED_LEG_WHITELIST.keys())
+        if n not in queries
+    ]
     assert not stale, f"whitelisted queries no longer registered: {stale}"
     no_longer = [
         n for n in WHITELIST if not _unpartitioned_windows(queries[n](spark, SF_DIR))
     ]
-    assert not no_longer, (
+    assert no_longer == [], (
         f"whitelisted queries no longer contain a global window: {no_longer}"
+    )
+    for n in CHECKPOINTED_LEG_WHITELIST:
+        assert _unpartitioned_windows(queries[n](spark, SF_DIR)), (
+            f"{n}: no global window even inside checkpointed legs — move "
+            "or drop its whitelist entry"
+        )
+
+
+def test_checkpointed_leg_entries_hidden_without_flag(spark):
+    """The CHECKPOINTED_LEG_WHITELIST documents windows that hide behind
+    lineage truncation: without the flag the walk must NOT see them
+    (otherwise the entry belongs in the plain WHITELIST)."""
+    assert os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") != "1"
+    queries = entrymod.queries()
+    visible = [
+        n for n in CHECKPOINTED_LEG_WHITELIST
+        if _unpartitioned_windows(queries[n](spark, SF_DIR))
+    ]
+    assert visible == [], (
+        f"{visible}: global window visible in the truncated plan — move the "
+        "entry to WHITELIST"
+    )
+
+
+def test_gate_sees_inside_checkpointed_legs(spark, no_checkpoint):
+    """The mechanism, proven on a deliberate fixture: a global window
+    wrapped in catalog.checkpoint is INVISIBLE to the plan walk in
+    production mode and VISIBLE under SPARK_GRAFT_NO_CHECKPOINT=1."""
+    base = spark.range(100).withColumn("v", F.col("id") % 7)
+    hidden = checkpoint(
+        base.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    ).groupBy("rn").count()
+    assert _unpartitioned_windows(hidden), "gate failed to see inside the leg"
+
+    os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT")
+    try:
+        truncated = checkpoint(
+            base.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+        ).groupBy("rn").count()
+        assert not _unpartitioned_windows(truncated), (
+            "expected the truncated plan to hide the window — the fixture "
+            "no longer demonstrates the blind spot"
+        )
+    finally:
+        os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+
+
+def test_all_lineage_truncation_goes_through_helper():
+    """Grep enforcement: no direct .localCheckpoint()/.checkpoint() calls
+    anywhere in the package except catalog.checkpoint itself — otherwise
+    a leg could bypass the identity flag and re-open the blind spot."""
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "youtube_data_lakehouse_and_analysis_spark"
+    offenders = []
+    pat = re.compile(r"\.(?:localCheckpoint|checkpoint)\s*\(")
+    for py in sorted(pkg.rglob("*.py")):
+        rel = py.relative_to(pkg.parent)
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code) and not (
+                py.name == "catalog.py" and "df.localCheckpoint" in code
+            ):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert offenders == [], (
+        "direct lineage truncation bypasses catalog.checkpoint (and the "
+        "window gate's no-checkpoint sweep): " + "; ".join(offenders)
     )

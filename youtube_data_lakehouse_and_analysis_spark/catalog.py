@@ -59,6 +59,29 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Lineage-truncation point for a multiply-consumed or iterative leg.
+
+    Normally ``df.localCheckpoint(eager=...)`` — the standard Spark
+    discipline that stops N downstream consumers from recomputing the
+    leg and stops iterative plans from growing without bound.
+
+    Under ``SPARK_GRAFT_NO_CHECKPOINT=1`` it is the IDENTITY: the full
+    logical plan stays visible to plan-introspection gates.  A
+    checkpointed leg otherwise surfaces as an opaque LogicalRDD leaf, so
+    an unpartitioned window hidden inside one would escape the
+    catalog-wide sweep in tests/test_window_gate.py — that test sets the
+    flag and walks the UN-truncated plans, which closes the blind spot
+    mechanically (r7 verdict ask #2).  Semantics are identical either
+    way; only lineage length differs.  Every lineage-truncation in the
+    query catalog must go through this helper (enforced by a grep test
+    in tests/test_window_gate.py).
+    """
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+        return df
+    return df.localCheckpoint(eager=eager)
+
+
 def _compacted(spark: SparkSession, src: str, name: str, raw: DataFrame) -> DataFrame:
     """Return a DataFrame over the compacted copy of `src`, building it on
     first access. Any failure (read-only disk, races, odd layouts) falls

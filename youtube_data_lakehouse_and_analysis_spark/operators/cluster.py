@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import checkpoint
+
 
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iterations: int = 25
@@ -45,7 +47,7 @@ def connected_components(
         proposed = labels.join(nbr, on="id", how="left").select(
             "id", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label")
         )
-        proposed = proposed.localCheckpoint(eager=True)
+        proposed = checkpoint(proposed, eager=True)
         changed = (
             labels.select("id", F.col("label").alias("old"))
             .join(proposed, on="id")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import checkpoint
 from ..functions.text import md5_prefix_long, normalize_text, tokens, word_shingles
 
 
@@ -158,7 +159,7 @@ def lsh_candidate_pairs(
         "_hub", F.min(id_col).over(bucket)
     )
     try:
-        keyed = keyed.localCheckpoint(eager=False)
+        keyed = checkpoint(keyed)
     except Exception:
         pass  # checkpoint is an optimization; semantics identical without it
     narrow = keyed.filter(F.col("_width") <= max_bucket_width)

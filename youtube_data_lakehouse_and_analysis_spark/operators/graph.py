@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import checkpoint
+
 SCALE = 1_000_000
 
 
@@ -58,7 +60,7 @@ def pagerank_fixed_point(
             .withColumnRenamed("dst", "src")
         )
         try:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = checkpoint(ranks)
         except Exception:
             pass  # checkpoint is lineage hygiene; semantics identical
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..functions.text import md5_prefix_long
 from .corpus2 import _BENCH_MOD, _N, _word_ngrams
 from .queries import query
@@ -464,7 +464,7 @@ def sm07a_histogram_cdf_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # consumed twice (histogram leg + assignment join): checkpoint so the
     # two token-stream shuffles behind the scores run once
-    weighted = _quality_scores(docs).localCheckpoint(eager=False)
+    weighted = _quality_scores(docs).transform(checkpoint)
     cuts = _sm07a_cuts(weighted)
     hv = md5_prefix_long(F.col("doc_id").cast("string")) % 8
     q = weighted.join(F.broadcast(cuts), "score").select(
@@ -515,7 +515,7 @@ def sm07b_cdf_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced accordingly (runs on the per-doc score table, never the token
     stream)."""
     docs = load(spark, sf_dir, "documents")
-    weighted = _quality_scores(docs).localCheckpoint(eager=False)
+    weighted = _quality_scores(docs).transform(checkpoint)
     cuts = _sm07a_cuts(weighted)
     exact = weighted.select(
         "doc_id",

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..functions.text import md5_keyed, md5_prefix_long, sql_md5_prefix_long
 from .queries import query
 
@@ -743,7 +743,7 @@ def ta19a_lm_gate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one non-scalable step its docstring flagged — is gone."""
     # consumed twice (histogram leg + assignment join): checkpoint so the
     # bigram explode + LM joins behind the scores run once
-    d = lm_doc_scores(spark, sf_dir).localCheckpoint(eager=False)
+    d = lm_doc_scores(spark, sf_dir).transform(checkpoint)
     cuts = _ta19a_cuts(d)
     return (
         d.join(F.broadcast(cuts), d["mean_condprob_scaled"] == cuts["s"])
@@ -783,7 +783,7 @@ def ta19b_lm_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum switch would move between buckets.
 
     Scale: eval-only; the exact leg is priced as ta19 is."""
-    d = lm_doc_scores(spark, sf_dir).localCheckpoint(eager=False)
+    d = lm_doc_scores(spark, sf_dir).transform(checkpoint)
     cuts = _ta19a_cuts(d)
     exact = d.select(
         "doc_id",

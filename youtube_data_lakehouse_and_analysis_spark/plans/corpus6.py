@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..operators import dedup as D
 from .dedup import _SIG_CTE
 from .queries import dec2, query
@@ -117,11 +117,11 @@ def dd21_lsh_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _J_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     cand = D.lsh_candidate_pairs(
         D.lsh_band_keys(D.minhash_signatures(docs, num_hashes=16), rows_per_band=4)
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     nt = truth.agg(F.count("*").alias("n_truth"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
@@ -378,7 +378,7 @@ def pp02_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     af = (
         dsir_doc_affinity(spark, sf_dir)
         .select("doc_id", "aff")
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     gm = af.agg(F.expr("sum(aff) div count(*)").alias("corpus_mean_aff"))
     dm = dup_mass_per_doc(spark, sf_dir).select("doc_id", "dup_mass_permille")
@@ -651,7 +651,7 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     usk = (
         _topk_smallest(uh, [], _KMV_K)
         .select("h")
-        .localCheckpoint(eager=False)  # feeds ustats, common, and the cap
+        .transform(checkpoint)  # feeds ustats, common, and the cap
     )
     ustats = uh.join(usk, "h", "left_semi").agg(
         F.count("*").alias("cnt"), F.max("h").alias("hk")
@@ -880,7 +880,7 @@ def sk04_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         _topk_smallest(h, ["side"], _KMV_K)
         .select("side", "h")
-        .localCheckpoint(eager=False)  # four consumers: theta + both difference legs
+        .transform(checkpoint)  # four consumers: theta + both difference legs
     )
     theta = sk.groupBy("side").agg(F.max("h").alias("hk")).agg(
         F.min("hk").alias("th")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..functions.text import sql_md5_prefix_long
 from ..operators import dedup as D
 from .queries import query
@@ -508,7 +508,7 @@ def ia03_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = (
         D.lsh_band_keys(sigs, rows_per_band=4)
         .withColumn("is_delta", delta_flag(F.col("doc_id")))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     d = tagged.filter(F.col("is_delta") == 1).select(
         "band", "band_key", F.col("doc_id").alias("d_id")
@@ -522,7 +522,7 @@ def ia03_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("d_id", "o_id").alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # stats leg + the extra-vs-full anti-join
+        .transform(checkpoint)  # stats leg + the extra-vs-full anti-join
     )
     a = tagged.select("band", "band_key", F.col("doc_id").alias("a_id"), "is_delta")
     b = tagged.select(
@@ -535,7 +535,7 @@ def ia03_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("is_delta") == 1) | (F.col("is_delta_b") == 1))
         .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=False)  # missing-vs-full leg + extra leg's right side
+        .transform(checkpoint)  # missing-vs-full leg + extra leg's right side
     )
     nd = delta_flag(F.col("doc_a")) + delta_flag(F.col("doc_b"))
     # COALESCE the sums: an empty increment (no new near-dups today) must

@@ -137,13 +137,13 @@ def d03_top10_viewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d04_comments_per_video",
-    f"WITH {_DOMAIN_CTES} SELECT video_title, comment_count FROM video",
+    f"WITH {_DOMAIN_CTES} SELECT channel_name, video_title, comment_count FROM videoc",
 )
 def d04_comments_per_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 (app.py:505-507): the pre-aggregated comment_count per video
-    (the reference's ORDER BY is display-only; the row set is the
-    contract the hash checks)."""
-    return _video(spark, sf_dir).select("video_title", "comment_count")
+    """Q4 (app.py:502-507): channel_name + video_title + the
+    pre-aggregated comment_count per video (the reference's ORDER BY is
+    display-only; the row set is the contract the hash checks)."""
+    return _video(spark, sf_dir).select("channel_name", "video_title", "comment_count")
 
 
 @query(
@@ -170,16 +170,17 @@ def d05_most_liked_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d06_likes_top10",
     f"""WITH {_DOMAIN_CTES}
-    SELECT video_title, likes FROM video ORDER BY likes DESC, video_id LIMIT 10""",
+    SELECT channel_name, video_title, likes FROM videoc
+    ORDER BY likes DESC, video_id LIMIT 10""",
 )
 def d06_likes_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6 (app.py:536-539): top-10 by likes (the prompt says 'and
-    dislikes'; the reference SQL selects only likes — observed
-    semantics), video_id tiebreak for determinism."""
+    """Q6 (app.py:534-539): top-10 by likes with channel_name (the
+    prompt says 'and dislikes'; the reference SQL selects only likes —
+    observed semantics), video_id tiebreak for determinism."""
     return (
         _video(spark, sf_dir)
         .orderBy(F.desc("likes"), F.asc("video_id"))
-        .select("video_title", "likes")
+        .select("channel_name", "video_title", "likes")
         .limit(10)
     )
 
@@ -236,15 +237,16 @@ def d09_avg_duration_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d10_top10_commented",
     f"""WITH {_DOMAIN_CTES}
-    SELECT video_title, comment_count FROM video
+    SELECT channel_name, video_title, comment_count FROM videoc
     ORDER BY comment_count DESC, video_id LIMIT 10""",
 )
 def d10_top10_commented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10 (app.py:588-591): top-10 by comment_count, video_id tiebreak
-    (comment_count % 1009 collides, so the tiebreak is load-bearing)."""
+    """Q10 (app.py:585-591): top-10 by comment_count with channel_name,
+    video_id tiebreak (comment_count % 1009 collides, so the tiebreak
+    is load-bearing)."""
     return (
         _video(spark, sf_dir)
         .orderBy(F.desc("comment_count"), F.asc("video_id"))
-        .select("video_title", "comment_count")
+        .select("channel_name", "video_title", "comment_count")
         .limit(10)
     )

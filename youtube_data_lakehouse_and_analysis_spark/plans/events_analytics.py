@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from .queries import query
 
 
@@ -745,7 +745,7 @@ def _ev10a_scored(spark: SparkSession, sf_dir: str):
         F.floor("monetary").cast("bigint").alias("m_bin"),
         # consumed four times (three histograms + the assignment join):
         # checkpoint so the events scan + per-user agg run once
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     out = b
     for bin_col, score_col in (("r_bin", "r_score"), ("f_bin", "f_score"), ("m_bin", "m_score")):
         hist = b.groupBy(bin_col).agg(F.count("*").alias("cnt"))

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..operators.graph import SCALE, pagerank_fixed_point
 from .queries import query
 
@@ -197,7 +197,7 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem⋈orders build runs once — at scale this is the
         # materialized edge list every production triangle counter
         # builds first.
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     deg = (
         edges.select(F.col("u").alias("v"))
@@ -215,7 +215,7 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
         # consumed three times: both wedge legs + the closing probe
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
@@ -315,7 +315,7 @@ def gr04_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     stats = []
     for r in range(_KCORE_ROUNDS + 1):
@@ -331,7 +331,7 @@ def gr04_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
                 .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
                 .select("u", "v")
-                .localCheckpoint(eager=False)
+                .transform(checkpoint)
             )
         nodes = (
             e.select(F.col("u").alias("x"))

@@ -683,7 +683,7 @@ def w08b_global_quartile_agreement(spark: SparkSession, sf_dir: str) -> DataFram
        SELECT n AS n_customers,
               total_cents AS total_dollars,
               half_abs_diff_sum * 2 AS abs_diff_sum,
-              CAST(half_abs_diff_sum * 2 AS DOUBLE)
+              CAST(half_abs_diff_sum AS DOUBLE)
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(total_cents AS DOUBLE) / CAST(n AS DOUBLE)))
                 AS gini
        FROM agg""",
@@ -694,7 +694,8 @@ def w13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of revenue") without any per-row global sort: Σᵢⱼ|xᵢ−xⱼ| unrolls
     over the dollar-spend histogram as 2·Σ_b c_b·(v_b·cnt_below −
     val_below), with the prefix sums over the SORTED HISTOGRAM, all in
-    BIGINT; Gini = Σ|diff| / (n²·mean) is the single double chain at
+    BIGINT; Gini = Σ_ordered|diff| / (2·n²·mean) = half_sum/(n²·mean)
+    is the single double chain at
     the end.  The dollar grain is the scalability decision, made
     explicit: exact-cents per-customer totals are nearly UNIQUE, so
     their "histogram" degenerates to one row per customer and the
@@ -734,7 +735,7 @@ def w13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").alias("total_dollars"),
         (F.col("half_abs_diff_sum") * 2).alias("abs_diff_sum"),
         (
-            (F.col("half_abs_diff_sum") * 2).cast("double")
+            F.col("half_abs_diff_sum").cast("double")
             / (
                 F.col("n").cast("double")
                 * F.col("n").cast("double")

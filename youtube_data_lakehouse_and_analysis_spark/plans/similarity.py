@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import checkpoint, load
 from ..operators import similarity as S
 from .queries import query
 
@@ -1277,7 +1277,7 @@ def sim15_margin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1 = (
         s1.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _MARGIN_K)
-        .localCheckpoint(eager=False)  # feeds mq, cset, and the final rn=1 pick
+        .transform(checkpoint)  # feeds mq, cset, and the final rn=1 pick
     )
     fold = lambda arr: F.aggregate(  # noqa: E731 — left fold in ascending order
         arr, F.lit(0.0), lambda acc, x: acc + x
@@ -1428,7 +1428,7 @@ def sim16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S.int_dot(F.col("a_qv"), F.col("qv")), F.col("a_nsq"), F.col("nsq")
             ).alias("cosine"),
         )
-        .localCheckpoint(eager=False)  # feeds the positive and top-K legs
+        .transform(checkpoint)  # feeds the positive and top-K legs
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     pos = (
