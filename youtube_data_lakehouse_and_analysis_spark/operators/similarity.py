@@ -79,8 +79,13 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    base = emb.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
-        "nsq", int_norm_sq(F.col("qv"))
+    # NULL vectors carry no geometry — excluded from both the query and
+    # candidate sides (a no-op on real corpora; keeps the numpy path
+    # total on degenerate inputs, r8 sweep).
+    base = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), quantize(vec_col).alias("qv"))
+        .withColumn("nsq", int_norm_sq(F.col("qv")))
     )
     qrows = base.filter(query_pred).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
@@ -90,12 +95,18 @@ def brute_force_topk(
             "stay small. Narrow the predicate or use lsh_topk for "
             "corpus-scale query sets."
         )
+    if not qrows:  # empty query set → empty result, not a 0-d matmul
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cosine double"
+        )
     Q = np.array([list(r["qv"]) for r in qrows], dtype=np.int64)
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
 
     def score(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             C = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))

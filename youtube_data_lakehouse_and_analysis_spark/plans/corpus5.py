@@ -199,8 +199,11 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
+            # GREATEST(v, 1): with zero ``lang`` docs the vocabulary is
+            # empty and the Laplace denominator would be 0 (degenerate-
+            # input sweep, r8); v >= 1 on any real corpus, so identical.
             F.expr(
-                f"((COALESCE(c2, 0) + 1) * {_LM_SCALE}) div (COALESCE(c1, 0) + v)"
+                f"((COALESCE(c2, 0) + 1) * {_LM_SCALE}) div (COALESCE(c1, 0) + GREATEST(v, 1))"
             ).alias("p"),
         )
     )
@@ -223,7 +226,7 @@ _LM_DOC_CTES = f"""w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM
               FROM (SELECT unnest(ws) AS word FROM w WHERE lang = '{_LM_LANG}')),
         p AS (SELECT b.doc_id, b.lang,
                      ((COALESCE(c2.c2, 0) + 1) * {_LM_SCALE})
-                       // (COALESCE(c1.c1, 0) + v.v) AS p
+                       // (COALESCE(c1.c1, 0) + GREATEST(v.v, 1)) AS p
               FROM bg b
               LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
               LEFT JOIN c1 ON b.w1 = c1.w1

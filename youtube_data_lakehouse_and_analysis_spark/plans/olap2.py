@@ -230,11 +230,11 @@ _STATS_CTE = """WITH s AS (
     + """
        SELECT l_returnflag, n,
               CAST(CAST((n * sxy - sx * sy)
-                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
                    AS DECIMAL(20,6)) AS DOUBLE) AS corr_qty_price,
-              CAST(CAST((sxy - sx * sy / n) / (n - 1) AS DECIMAL(20,6))
+              CAST(CAST((sxy - sx * sy / n) / NULLIF(n - 1, 0) AS DECIMAL(20,6))
                    AS DOUBLE) AS covar_samp,
-              CAST(CAST(sqrt((sxx - sx * sx / n) / (n - 1)) AS DECIMAL(20,6))
+              CAST(CAST(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)) AS DECIMAL(20,6))
                    AS DOUBLE) AS stddev_qty
        FROM s""",
 )
@@ -268,15 +268,20 @@ def a11_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     q6 = "decimal(20,6)"
+    # try_divide: corr/covar_samp/stddev_samp are undefined for n=1 /
+    # zero variance — NULL, matching the built-ins, not an ANSI
+    # divide-by-zero crash (degenerate-input sweep, r8).
     return s.select(
         "l_returnflag",
         "n",
-        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        F.try_divide(
+            n * sxy - sx * sy, F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
         .cast(q6)
         .cast("double")
         .alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (n - 1)).cast(q6).cast("double").alias("covar_samp"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1))
+        F.try_divide(sxy - sx * sy / n, n - 1).cast(q6).cast("double").alias("covar_samp"),
+        F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1))
         .cast(q6)
         .cast("double")
         .alias("stddev_qty"),
@@ -306,8 +311,18 @@ def f14_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny; one shuffle on (user_id, event_type), one on user_id."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # NULL event_type would be an illegal map key (NULL_MAP_KEY); fold it
+    # to a sentinel so the user's row survives with 0 counts — the same
+    # result the oracle's conditional counts give (degenerate sweep, r8).
     mapped = per_type.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("event_type"), F.lit("<null>")).alias("event_type"),
+                    "cnt",
+                )
+            )
+        ).alias("m")
     )
     return mapped.select(
         "user_id",

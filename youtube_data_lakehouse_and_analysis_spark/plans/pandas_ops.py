@@ -47,10 +47,11 @@ def _slope_udf(pdf):
                           CAST(ts AS DATE)) AS x,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
          FROM events),
+       bf AS (SELECT * FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
        s AS (SELECT event_type, COUNT(*) AS n,
                     SUM(x) AS sx, SUM(y) AS sy,
                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
-             FROM b GROUP BY event_type)
+             FROM bf GROUP BY event_type)
        SELECT event_type, n,
               CAST(n * sxy - sx * sy AS DOUBLE)
                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
@@ -76,8 +77,16 @@ def pd01_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.min("ts").over(w).cast("date")).alias("x"),
         (dec2("value") * 100).cast("bigint").alias("y"),
     )
-    return base.groupBy("event_type").applyInPandas(
-        _slope_udf, schema="event_type string, n bigint, slope_cents_per_day double"
+    # NULL ts/value rows carry no (x, y) point — excluded BEFORE the
+    # worker on both engines, so the UDF only ever sees clean integers
+    # (degenerate-input sweep, r8; a group of only-NULL rows vanishes
+    # identically on both sides).
+    return (
+        base.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("event_type")
+        .applyInPandas(
+            _slope_udf, schema="event_type string, n bigint, slope_cents_per_day double"
+        )
     )
 
 
@@ -134,9 +143,16 @@ def pd02_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wavg_udf():
     @F.pandas_udf("double")
     def wavg(cents: pd.Series, qty: pd.Series) -> float:
-        # arbitrary-precision int accumulation; ONE float division out
-        num = sum(int(c) * int(q) for c, q in zip(cents, qty))
-        den = sum(int(q) for q in qty)
+        # arbitrary-precision int accumulation; ONE float division out.
+        # NaN guards mirror SQL SUM null-skipping exactly: the numerator
+        # drops a pair when EITHER side is NULL (the product is NULL),
+        # the denominator only when qty is (degenerate-input sweep, r8).
+        num = sum(
+            int(c) * int(q)
+            for c, q in zip(cents, qty)
+            if pd.notna(c) and pd.notna(q)
+        )
+        den = sum(int(q) for q in qty if pd.notna(q))
         return float(num) / float(den) if den else None
 
     return wavg
@@ -192,9 +208,35 @@ def _norm_batches(batches):
     import numpy as np
     import pyarrow as pa
 
+    def _one(v):
+        # slow path for a single list value (possibly NULL): mirrors the
+        # vectorized math below; NULL vector -> NULL features, matching
+        # the oracle's list_sum(NULL)/list_indexof(NULL) (r8 sweep)
+        if not v.is_valid:
+            return None, None
+        x = np.asarray(v.as_py(), dtype=np.float64)
+        if x.size == 0:
+            return 0, None
+        mag = np.abs(x) * 1000.0
+        fl = np.floor(mag)
+        a = (fl + (mag - fl >= 0.5)).astype(np.int64)
+        return int(a.sum()), int(a.argmax()) + 1
+
     for batch in batches:
         tbl = pa.Table.from_batches([batch])
         col = tbl.column("embedding").combine_chunks()
+        if len(col) == 0:
+            continue
+        if col.null_count:
+            feats = [_one(v) for v in col]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": tbl.column("vec_id").combine_chunks(),
+                    "l1_scaled": pa.array([f[0] for f in feats], type=pa.int64()),
+                    "argmax_dim": pa.array([f[1] for f in feats], type=pa.int32()),
+                }
+            )
+            continue
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         vecs = flat.reshape(len(col), -1)  # no per-element Python boxing
         mag = np.abs(vecs) * 1000.0

@@ -115,12 +115,12 @@ def ts02_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
        )
        SELECT l_returnflag, n,
               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty,
+                / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0) AS var_qty,
               sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty,
+                / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0)) AS stddev_qty,
               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_line
+                / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS corr_qty_line
        FROM sums""",
 )
 def a09_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,8 +140,13 @@ def a09_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c).cast("double") for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
     nm1 = (F.col("n") - 1).cast("double")
-    var = (n * sxx - sx * sx) / (n * nm1)
-    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    # try_divide: sample variance/corr are undefined for n=1 / zero
+    # variance — NULL (matching stddev_samp/corr built-ins), not an
+    # ANSI divide-by-zero crash (degenerate-input sweep, r8).
+    var = F.try_divide(n * sxx - sx * sx, n * nm1)
+    corr = F.try_divide(
+        n * sxy - sx * sy, F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
     return sums.select(
         "l_returnflag",
         "n",
@@ -283,10 +288,13 @@ def w09_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(frame)
     lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
     hi = F.element_at(frame, F.floor(n / 2 + 1).cast("int"))
+    # collect_list drops NULLs, so an all-NULL frame is EMPTY and the
+    # middle index would be 0 (an ANSI error); median of no values is
+    # NULL, exactly what DuckDB's median() returns (degenerate sweep, r8).
     return ev.select(
         "user_id",
         "event_id",
-        ((lo + hi) / 2.0).alias("med"),
+        F.when(n > 0, (lo + hi) / 2.0).alias("med"),
     )
 
 
