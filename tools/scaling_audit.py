@@ -1,0 +1,134 @@
+"""Measure scaling exponents for the catalog's super-linear suspects.
+
+SCALE.md argues each operator's 100 TB behavior from its plan shape; this
+tool turns the riskiest of those arguments into MEASUREMENTS (r7 verdict
+ask #5).  Each audited query runs at sf0.001 / sf0.01 / sf0.1 — a 100×
+input range — and the fitted log-log slope between the two LARGEST scales
+(where constant session/job overhead distorts least) must stay within the
+operator's documented bound.  A super-linear regression (e.g. a wedge
+join gone quadratic, a containment pass gone all-pairs) shows up as an
+exponent blow-up long before it shows up as a wall-clock problem at test
+scale.
+
+Bounds are deliberately generous (+ margin over the theoretical slope):
+the point is catching O(n^2) pretending to be O(n), not flagging noise.
+A measured exponent SMALLER than the bound is expected — per-job constant
+overhead flattens the small end, and several operators carry bounded legs
+(sampled truth sets, capped buckets) that do not grow with the corpus.
+
+Usage: python tools/scaling_audit.py [--json] [query ...]
+Exit 0 = every audited operator inside its bound.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIRS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+REPS = 3  # per (query, scale); min is taken (noise is one-sided)
+
+# query -> (exponent bound, documented complexity argument)
+AUDITED = {
+    "gr03_triangle_count": (
+        1.6,
+        "degree-oriented wedges: O(m^1.5) in edges regardless of hub skew",
+    ),
+    "gr04_kcore_peel": (
+        1.6,
+        "peeling rounds = shrinking semi-joins; near-linear in edges",
+    ),
+    "dd18_containment_pairs": (
+        1.5,
+        "linear in candidate pairs (banded blocking caps bucket width)",
+    ),
+    "dd20_char_window_dup_mass": (
+        1.3,
+        "stride-windowed single pass, no self-join: linear in chars",
+    ),
+    "sim15_margin_knn": (
+        1.5,
+        "sampled truth legs by contract; candidate legs bucket-joined",
+    ),
+    "ia03_incremental_lsh_index": (
+        1.5,
+        "delta-only band probe + full-recompute eval leg (linear in bands)",
+    ),
+    "dd03_lsh_candidate_pairs": (
+        1.5,
+        "capped star-pairing: pairs linear in bucket membership",
+    ),
+    "sk02_kmv_set_ops": (
+        1.3,
+        "sketch construction: one pass + bounded K-row merges",
+    ),
+}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    emit_json = "--json" in sys.argv
+    names = args or list(AUDITED)
+
+    from youtube_data_lakehouse_and_analysis_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scaling-audit", cpus=8)
+    queries = entrymod.queries()
+
+    results = {}
+    failures = []
+    for name in names:
+        bound, why = AUDITED[name]
+        times = []
+        for sf_dir, sf in SF_DIRS:
+            best = math.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            times.append((sf, best))
+        # slope over the largest decade (0.01 -> 0.1): constant overhead
+        # contributes least there; the full 3-point fit is reported too
+        (sf_a, t_a), (sf_b, t_b) = times[-2], times[-1]
+        exp_top = math.log(t_b / t_a) / math.log(sf_b / sf_a)
+        (sf_0, t_0) = times[0]
+        exp_full = math.log(t_b / t_0) / math.log(sf_b / sf_0)
+        ok = exp_top <= bound
+        results[name] = {
+            "times_sec": {str(sf): round(t, 4) for sf, t in times},
+            "exponent_top_decade": round(exp_top, 3),
+            "exponent_full_range": round(exp_full, 3),
+            "bound": bound,
+            "ok": ok,
+            "argument": why,
+        }
+        if not ok:
+            failures.append(name)
+        flag = "ok  " if ok else "FAIL"
+        print(
+            f"{flag} {name:32s} exp={exp_top:5.2f} (bound {bound})  "
+            f"t={['%.2fs' % t for _, t in times]}",
+            file=sys.stderr,
+        )
+
+    if emit_json:
+        print(json.dumps(results, indent=2))
+    if failures:
+        print(f"EXPONENT VIOLATIONS: {failures}", file=sys.stderr)
+        return 1
+    print(f"{len(results)} operators inside their scaling bounds", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
