@@ -94,3 +94,43 @@ def test_decode_media_real_end_to_end(spark):
         assert got[i]["mean_byte"] == float(img.mean())
         assert got[i]["n_frames"] == 1
     assert got[4]["width"] is None and got[4]["mean_byte"] is None
+
+
+# ---------------------------------------------------------------------------
+# Property-based roundtrips: ANY (H, W) shape and pixel content must
+# survive encode→decode bit-exactly, including every BMP padding residue
+# and PPM dimension-token width.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(min_value=1, max_value=24))
+    w = draw(st.integers(min_value=1, max_value=24))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=_images())
+def test_property_bmp_roundtrip(img):
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=_images())
+def test_property_ppm_roundtrip(img):
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_images())
+def test_property_real_decode_feature_contract(img):
+    """Both containers of the same pixels yield identical features."""
+    fb = _real_decode(encode_bmp(img))
+    fp = _real_decode(encode_ppm(img))
+    assert fb == fp == (img.shape[1], img.shape[0], 1, float(img.mean()))
