@@ -101,10 +101,14 @@ def test_brute_force_topk_guards_wide_query_pred(spark):
     assert ok.count() > 0
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = attach_payload(load(spark, SF_DIR, "documents"))
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real_decode=True)
+def test_multimodal_real_decode_rejects_non_image_payloads(spark):
+    """real_decode=True is LIVE since r8 (pure-numpy BMP/PPM codec,
+    tests/test_codec_real.py), but these text-byte payloads are not a
+    supported container — the worker must raise toward the external-codec
+    integration point rather than fake features."""
+    media = attach_payload(load(spark, SF_DIR, "documents")).limit(3)
+    with pytest.raises(Exception, match="(?i)external codecs|NotImplemented"):
+        decode_media(media, real_decode=True).collect()
 
 
 def test_multimodal_mean_byte_matches_python(spark):
