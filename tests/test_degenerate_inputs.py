@@ -13,7 +13,12 @@ registered query against each:
   * ``null_payload`` — one row per table with every NON-KEY column NULL
                        (keys kept so the layout is realistic: a warehouse
                        never nulls primary keys, but every payload column
-                       is nullable and WILL be null at 100 TB).
+                       is nullable and WILL be null at 100 TB);
+  * ``empty_facts``  — fact tables (orders/lineitem/events/documents/
+                       embeddings) 0-row, dimensions populated: the
+                       day-one-deploy shape that exercises joins with
+                       exactly one empty side, broadcasts of real dims
+                       into nothing, and aggregates over empty facts.
 
 Contract: the query returns a DataFrame whose collect() succeeds.  No
 row-count assertions — a global aggregate legitimately returns one row of
@@ -53,11 +58,14 @@ def _null_payload_row(table: pa.Table) -> pa.Table:
     return pa.table(cols, schema=one.schema)
 
 
+_FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+
 @pytest.fixture(scope="session")
 def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
     root = tmp_path_factory.mktemp("degenerate")
     dirs = {}
-    for kind in ("empty", "one_row", "null_payload"):
+    for kind in ("empty", "one_row", "null_payload", "empty_facts"):
         d = root / kind
         d.mkdir()
         dirs[kind] = str(d)
@@ -66,6 +74,8 @@ def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
         pq.write_table(src.slice(0, 0), f"{dirs['empty']}/{name}.parquet")
         pq.write_table(src.slice(0, 1), f"{dirs['one_row']}/{name}.parquet")
         pq.write_table(_null_payload_row(src), f"{dirs['null_payload']}/{name}.parquet")
+        facts_slice = src.slice(0, 0) if name in _FACT_TABLES else src
+        pq.write_table(facts_slice, f"{dirs['empty_facts']}/{name}.parquet")
     return dirs
 
 
