@@ -94,6 +94,12 @@ EXTENDED = [
     "sim15_margin_knn",
     "sim16_hard_negatives",
     "sm10_length_bucketed_batches",
+    # r8: remaining late additions now under the diagnostic clock
+    "w13_gini_concentration",
+    "sk04_theta_a_not_b",
+    "dq04_column_profile",
+    "sim14_index_balance",
+    "ta19a_lm_gate_histogram",
 ]
 
 
