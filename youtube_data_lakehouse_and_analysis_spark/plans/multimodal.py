@@ -2,9 +2,8 @@
 standing in for a media table (multimodal/codec.py).
 
 mm02 runs the REAL mapInPandas decode path and is still oracle-checked —
-the deterministic fake's arithmetic is reproduced in SQL. mm03 exposes the
-payload bytes themselves (rows-only: engines agree, but binary hashing is
-driver-dependent, so it is asserted in tests instead)."""
+the deterministic fake's arithmetic is reproduced in SQL; mm03's frame
+explosion gets the same treatment (oracled since r8)."""
 
 from __future__ import annotations
 
@@ -50,9 +49,24 @@ def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).select("doc_id", "kind", "n_bytes", "width", "height", "n_frames")
 
 
-@query("mm03_frame_sample")  # rows-only: exercises explode-over-sequence on UDF output
+@query(
+    "mm03_frame_sample",
+    f"""WITH media AS (
+          SELECT doc_id, {_KIND} AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        v AS (SELECT doc_id, 1 + n_bytes % 24 AS n_frames
+              FROM media WHERE kind = 'video')
+        SELECT doc_id, CAST(i AS INT) AS frame_idx
+        FROM v, UNNEST(range(0, n_frames)) AS t(i)
+        WHERE i % 4 = 0""",
+)
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over decoded video rows (every 4th frame)."""
+    """Frame sampling over decoded video rows (every 4th frame): the
+    explode-over-sequence on mapInPandas output.  Oracled since r8 — the
+    fake codec's n_frames arithmetic (1 + n_bytes % 24 for video) is
+    deterministic, so the frame explosion is SQL-expressible like mm02's
+    dimensions; only a03's HLL estimate remains rows-only by design."""
     media = attach_payload(load(spark, sf_dir, "documents"))
     return sample_frames(decode_media(media), every_nth=4)
 
