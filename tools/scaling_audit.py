@@ -70,6 +70,14 @@ AUDITED = {
         1.3,
         "sketch construction: one pass + bounded K-row merges",
     ),
+    "sim12_ivfpq_topk": (
+        1.5,
+        "IVF-PQ: broadcast codebooks, per-query limit(K) candidate sets",
+    ),
+    "dd06_embedding_near_dup": (
+        1.6,
+        "cell-blocked pairs: quadratic only within bounded cells",
+    ),
 }
 
 
