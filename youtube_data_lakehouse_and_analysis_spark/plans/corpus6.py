@@ -20,6 +20,8 @@ fragments the dedup family already pins (plans/dedup.py CTEs).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -426,7 +428,33 @@ _HLL_R = 55  # rho sentinel/bound: the 54-bit suffix's lowbit position ≤ 54
 # literal round-trips to the identical double in both parsers. pow() is
 # libm territory (see f05), hence no runtime exponentiation.
 _HLL_NUM = repr(709.0 * 4096.0 * 36028797018963968.0)
-_HLL_EST = f"{_HLL_NUM} / (CAST(1000 AS DOUBLE) * CAST(raw AS DOUBLE))"
+_HLL_RAW = f"({_HLL_NUM} / (CAST(1000 AS DOUBLE) * CAST(raw AS DOUBLE)))"
+# Small-range correction (Flajolet et al. 2007 §4, the practical
+# algorithm): when the raw estimate E <= 5/2·m and some registers are
+# still zero, raw HLL is badly biased high and the published algorithm
+# switches to LINEAR COUNTING, E* = m·ln(m/V) with V = #zero registers.
+# ln is libm territory (f05 discipline: no runtime transcendentals), but
+# V only takes values 1..m, so ln(m/V) is a 64-entry table of EXACT
+# shortest-repr double literals generated here — identical parses on
+# both engines, one identical multiply. V = 0 (all registers hit) can
+# only happen far above 5/2·m, where the raw branch is taken.
+# each THEN literal is CAST(... AS DOUBLE): DuckDB parses bare decimal
+# literals as DECIMAL (the _HLL_NUM note) and would do decimal-typed CASE
+# arithmetic; the cast re-rounds the shortest-repr decimal to the exact
+# original double on both engines.
+_HLL_LC_CASE = (
+    "CASE v0 "
+    + " ".join(
+        f"WHEN {v} THEN CAST({repr(math.log(64.0 / v))} AS DOUBLE)"
+        for v in range(1, 65)
+    )
+    + " ELSE CAST(0 AS DOUBLE) END"
+)
+_HLL_EST = (
+    f"CASE WHEN v0 > 0 AND {_HLL_RAW} <= 160.0 "
+    f"THEN CAST(64 AS DOUBLE) * ({_HLL_LC_CASE}) "
+    f"ELSE {_HLL_RAW} END"
+)
 
 
 def _sk01_sql() -> str:
@@ -450,7 +478,8 @@ def _sk01_sql() -> str:
           FROM grid g LEFT JOIN m ON g.event_type = m.event_type AND g.j = m.j),
         raws AS (
           SELECT event_type,
-                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_R} - mj)) AS BIGINT) AS raw
+                 CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_R} - mj)) AS BIGINT) AS raw,
+                 CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
           FROM reg GROUP BY event_type),
         exact AS (
           SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
@@ -469,8 +498,13 @@ def sk01_hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-bit position of the 54-bit md5 suffix (rho via the x & -x lowbit
     isolate + bin-length — no logs), the harmonic denominator is the
     EXACT integer Σ 2^(R − M[j]), and the α·m²-scaled estimate is one
-    identical double rounding chain. Reported next to the exact distinct
-    count so the ~13% (1.04/√64) error budget is measured, not assumed.
+    identical double rounding chain, with the published SMALL-RANGE
+    correction (r8): when E ≤ 5/2·m and zero registers remain, linear
+    counting m·ln(m/V) takes over — ln from a 64-entry exact-literal
+    table, keeping the no-runtime-transcendentals discipline. Reported
+    next to the exact distinct count so the ~13% (1.04/√64) error budget
+    is measured, not assumed (with correction: +5% at n=15 vs +255%
+    raw — the small-cardinality regime every per-group HLL hits).
 
     Scale: THE mergeable-sketch pattern — registers combine with MAX, so
     per-partition sketches merge map-side and the shuffle carries
@@ -506,7 +540,8 @@ def sk01_hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.coalesce(F.col("mj"), F.lit(0)).alias("mj")
     )
     raws = reg.groupBy("event_type").agg(
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_R} - mj)")).alias("raw")
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_R} - mj)")).alias("raw"),
+        F.sum(F.expr("CASE WHEN mj = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("v0"),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
