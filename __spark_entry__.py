@@ -45,24 +45,25 @@ _SAMPLE_PRIORITY = [
     "w13_gini_concentration", "dq04_column_profile",
     # --- (b) changed in round 8 (ADVICE.md: channel_name projection) ---
     "d04_comments_per_video", "d06_likes_top10", "d10_top10_commented",
-    # --- (c) re-checks: recently-changed operators first ---
+    # --- (c) queries whose code changed later in round 8 (degenerate-
+    # input hardening: try_divide/NULLIF guards, NULL-safe workers; the
+    # HLL small-range correction; mm03's new oracle) ---
+    "a09_exact_moments", "a11_corr_stats", "f14_map_ops",
+    "w09_sliding_median", "sk01_hll_from_scratch",
+    "mm02_decode_features", "mm03_frame_sample", "mm04_modality_budget",
+    "mm06_modality_packing",
+    "pd01_group_regression", "pd03_grouped_agg_udf", "pd04_map_in_arrow",
+    "sim01_bruteforce_topk", "sim09_ann_recall", "sim10_multiprobe_recall",
+    "ta19_lm_quality_gate", "pp02_llm_corpus_build",
+    # --- (d) re-checks: r7-changed operators + family spread ---
     "gr03_triangle_count", "sk02_kmv_set_ops",
     "sm07a_histogram_cdf_sampling", "sm07b_cdf_ntile_agreement",
     "ev10a_rfm_segments_approx", "ev10b_rfm_agreement",
     "w08a_global_price_quartile", "w08b_global_quartile_agreement",
-    # --- (c) family spread ---
-    "q05_groupwise_max", "q05_groupwise_max_window",
-    "a01_pricing_summary", "a04_rollup", "a08_grouping_sets",
-    "w01_topk_per_group", "w09_sliding_median", "w11_running_distinct",
-    "j05_star_join", "j10_not_in_subquery", "j16_lateral_topn",
-    "rc01_recursive_date_spine",
-    "dd01_exact_dedup", "dd03_lsh_candidate_pairs",
-    "dd08_canonical_corpus", "dd17_bloom_decontaminate",
-    "sim01_bruteforce_topk", "sim06_kmeans_step", "sim10_multiprobe_recall",
-    "sm01_deterministic_sample", "ta05_bpe_token_count",
-    "ev01_funnel", "ev06_transition_matrix", "ses01_gap_sessions",
-    "scd01_scd2_history", "mg01_apply_changes",
-    "f07_json_extract", "h08_market_share",
+    "q05_groupwise_max", "a01_pricing_summary", "w01_topk_per_group",
+    "j05_star_join", "dd01_exact_dedup", "dd08_canonical_corpus",
+    "ev01_funnel", "ses01_gap_sessions", "scd01_scd2_history",
+    "mg01_apply_changes", "h08_market_share",
 ]
 
 
