@@ -19,6 +19,12 @@ registered query against each:
                        day-one-deploy shape that exercises joins with
                        exactly one empty side, broadcasts of real dims
                        into nothing, and aggregates over empty facts.
+  * ``clones``       — every table is its first row repeated 64x, ALL
+                       keys identical: the extreme-duplication shape
+                       (join fan-out n x m on one key, every window a
+                       single all-tied frame, every LSH bucket maximally
+                       hot) that exercises tie-breaking and hot-bucket
+                       caps.
 
 Contract: the query returns a DataFrame whose collect() succeeds.  No
 row-count assertions — a global aggregate legitimately returns one row of
@@ -65,7 +71,7 @@ _FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
     root = tmp_path_factory.mktemp("degenerate")
     dirs = {}
-    for kind in ("empty", "one_row", "null_payload", "empty_facts"):
+    for kind in ("empty", "one_row", "null_payload", "empty_facts", "clones"):
         d = root / kind
         d.mkdir()
         dirs[kind] = str(d)
@@ -76,6 +82,7 @@ def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
         pq.write_table(_null_payload_row(src), f"{dirs['null_payload']}/{name}.parquet")
         facts_slice = src.slice(0, 0) if name in _FACT_TABLES else src
         pq.write_table(facts_slice, f"{dirs['empty_facts']}/{name}.parquet")
+        pq.write_table(pa.concat_tables([src.slice(0, 1)] * 64), f"{dirs['clones']}/{name}.parquet")
     return dirs
 
 
