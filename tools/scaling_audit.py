@@ -85,6 +85,11 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     emit_json = "--json" in sys.argv
     names = args or list(AUDITED)
+    unknown = [n for n in names if n not in AUDITED]
+    if unknown:
+        print(f"unknown query name(s): {', '.join(unknown)}", file=sys.stderr)
+        print(f"audited set: {', '.join(sorted(AUDITED))}", file=sys.stderr)
+        sys.exit(2)
 
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 

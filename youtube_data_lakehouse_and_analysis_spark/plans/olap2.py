@@ -311,16 +311,17 @@ def f14_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny; one shuffle on (user_id, event_type), one on user_id."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
-    # NULL event_type would be an illegal map key (NULL_MAP_KEY); fold it
-    # to a sentinel so the user's row survives with 0 counts — the same
-    # result the oracle's conditional counts give (degenerate sweep, r8).
+    # NULL event_type would be an illegal map key (NULL_MAP_KEY). Dropping
+    # those entries AFTER the user-level collect (array filter, not a row
+    # filter) keeps a user whose only events are NULL-typed alive with an
+    # empty map — matching the oracle's GROUP BY user_id + conditional
+    # counts — and, unlike the r8 sentinel fold, cannot collide with a
+    # literal '<null>' string in the data (DUPLICATE_MAP_KEY; ADVICE r8).
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.coalesce(F.col("event_type"), F.lit("<null>")).alias("event_type"),
-                    "cnt",
-                )
+            F.filter(
+                F.collect_list(F.struct("event_type", "cnt")),
+                lambda s: s["event_type"].isNotNull(),
             )
         ).alias("m")
     )
