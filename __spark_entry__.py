@@ -26,44 +26,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 8 finishes the gate-surface rotation: (a) the 11
-# late-round-7 queries the r7 verdict queued (its ask #1) — after this
-# sample, EVERY oracled query in the catalog has been driver-sampled at
-# least once; (b) the queries whose code changed in round 8 (ADVICE.md
-# fixes: w13's Gini normalization — listed in (a) — and the d04/d06/d10
-# channel_name projection); (c) spot re-checks weighted toward the
-# operators changed most recently (gr03 degree-oriented rewrite, sk02
-# two-phase top-K, the checkpoint-fed histogram-CDF forms) plus a spread
-# across every query family (joins, aggs, windows, dedup, ANN, events,
-# TPC-H, SCD/CDC, text, pandas-ops).
+# in dict order.  Round 9 rotates by DRIVER-ROW STALENESS (r8 verdict ask
+# #1): with every oracled query driver-green at least once across r1-r8,
+# the weakest evidence is now age, so this sample is exactly the 50
+# queries whose most recent CORRECTNESS_r{N} row is oldest — the 44 last
+# sampled in r3 plus the first 6 (name order) of the r4 cohort; all 50
+# have previous driver rows ≤r4, shrinking maximum staleness from 6
+# rounds to 1.  Computed mechanically from CORRECTNESS_r01..r08 (max
+# round per query, sort ascending by (round, name), take 50, excluding
+# the rows-only-by-design a03).  Queries whose code changed in round 9
+# but fall outside this sample are covered by the local strict sweep
+# (tools/verify_local.py) and queue for the r10 rotation.
 _SAMPLE_PRIORITY = [
-    # --- (a) the 11 queued late-r7 queries (r7 verdict ask #1) ---
-    "ta19a_lm_gate_histogram", "ta19b_lm_gate_agreement",
-    "ia03_incremental_lsh_index", "gr04_kcore_peel",
-    "sim14_index_balance", "sim15_margin_knn", "sim16_hard_negatives",
-    "sm10_length_bucketed_batches", "sk04_theta_a_not_b",
-    "w13_gini_concentration", "dq04_column_profile",
-    # --- (b) changed in round 8 (ADVICE.md: channel_name projection) ---
-    "d04_comments_per_video", "d06_likes_top10", "d10_top10_commented",
-    # --- (c) queries whose code changed later in round 8 (degenerate-
-    # input hardening: try_divide/NULLIF guards, NULL-safe workers; the
-    # HLL small-range correction; mm03's new oracle) ---
-    "a09_exact_moments", "a11_corr_stats", "f14_map_ops",
-    "w09_sliding_median", "sk01_hll_from_scratch",
-    "mm02_decode_features", "mm03_frame_sample", "mm04_modality_budget",
-    "mm06_modality_packing",
-    "pd01_group_regression", "pd03_grouped_agg_udf", "pd04_map_in_arrow",
-    "sim01_bruteforce_topk", "sim09_ann_recall", "sim10_multiprobe_recall",
-    "ta19_lm_quality_gate", "pp02_llm_corpus_build",
-    # --- (d) re-checks: r7-changed operators + family spread ---
-    "gr03_triangle_count", "sk02_kmv_set_ops",
-    "sm07a_histogram_cdf_sampling", "sm07b_cdf_ntile_agreement",
-    "ev10a_rfm_segments_approx", "ev10b_rfm_agreement",
-    "w08a_global_price_quartile", "w08b_global_quartile_agreement",
-    "q05_groupwise_max", "a01_pricing_summary", "w01_topk_per_group",
-    "j05_star_join", "dd01_exact_dedup", "dd08_canonical_corpus",
-    "ev01_funnel", "ses01_gap_sessions", "scd01_scd2_history",
-    "mg01_apply_changes", "h08_market_share",
+    # --- last driver-sampled in r3 (44 queries) ---
+    "as01_asof_join", "as02_asof_tolerance", "cdc01_snapshot_diff",
+    "dd02_minhash_signatures", "dd03_lsh_candidate_pairs",
+    "dd04_jaccard_pairs", "dd05_simhash", "dd06_embedding_near_dup",
+    "dd07_dup_clusters", "dd10_decontaminate", "dd11_edit_distance_verify",
+    "dq01_expectations", "ev02_retention_cohorts", "ev04_last_touch",
+    "ev05_timed_conversion", "ev06_transition_matrix", "f10_fill_with_first",
+    "f11_percentiles", "f12_array_agg_sorted", "f13_higher_order",
+    "fe01_feature_hashing", "ia01_incremental_agg", "ir01_keyword_topk",
+    "j07_like_dim_join", "q01_project_filter", "q02_sort_desc",
+    "q03_topk_orders", "q04_project_sort", "q05_groupwise_max_window",
+    "q06_topk_lineitem", "q07_supplier_sort", "q08_distinct_year",
+    "q09_groupby_avg", "q10_topk_count", "q11_scalar_subquery",
+    "rj01_range_join_agg", "sim04_ivf_topk", "sj01_salted_join_agg",
+    "sm01_deterministic_sample", "sm04_source_mixing", "ta09_redact_terms",
+    "ta10_merge_pairs", "u01_union_by_name", "w06_value_windows",
+    # --- last driver-sampled in r4 (first 6 by name) ---
+    "a02_count_distinct", "a04_rollup", "a05_cube", "a06_having",
+    "a07_minmax_stats", "a08_grouping_sets",
 ]
 
 
