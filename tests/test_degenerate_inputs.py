@@ -25,6 +25,20 @@ registered query against each:
                        single all-tied frame, every LSH bucket maximally
                        hot) that exercises tie-breaking and hot-bucket
                        caps.
+  * ``maxvals``      — one row per table with every payload column at a
+                       MAGNITUDE extreme (r8 verdict ask #3): int64
+                       counters at 2^62, int32s at 2^31-1, money doubles
+                       at the largest double that casts into
+                       DECIMAL(18,2) (9999999999999998.0), [0,1]-rate
+                       columns at 1.0, timestamps at year 9999 (and
+                       l_shipdate at year 1 for the far-past side),
+                       documents.text at ~1 MB of distinct tokens, other
+                       strings at 64 KB, embeddings alternating
+                       +/-FLT_MAX.  Under ANSI mode any unguarded
+                       overflow (cast, sum, multiply) is a crash — this
+                       layout pins the overflow-bound ARGUMENTS
+                       (e.g. olap3.py w13's v*cnt_lt bound) the way the
+                       null_payload layout pinned the division class.
 
 Contract: the query returns a DataFrame whose collect() succeeds.  No
 row-count assertions — a global aggregate legitimately returns one row of
@@ -66,12 +80,62 @@ def _null_payload_row(table: pa.Table) -> pa.Table:
 
 _FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 
+# --- maxvals layout ---------------------------------------------------------
+
+_RATE_COLS = {"l_discount", "l_tax"}  # [0,1] domain: extreme is 1.0
+_FAR_PAST_COLS = {"l_shipdate"}  # year-1 side of the timestamp extreme
+_DEC18_2_MAX_DOUBLE = 9999999999999998.0  # largest double fitting DECIMAL(18,2)
+_FLT_MAX = 3.4028234663852886e38  # float32 max ("+/-inf-adjacent")
+_BIG_TEXT = " ".join(f"w{i}" for i in range(140_000))  # ~1 MB, distinct tokens
+_BIG_STR = "x" * 65_536
+
+
+def _maxvals_value(field: pa.Field, table_name: str):
+    import datetime
+
+    t = field.type
+    if field.name in _RATE_COLS:
+        return pa.array([1.0], t)
+    if pa.types.is_timestamp(t):
+        dt = (
+            datetime.datetime(1, 1, 2, 0, 0, 0)
+            if field.name in _FAR_PAST_COLS
+            else datetime.datetime(9999, 12, 31, 23, 59, 59)
+        )
+        return pa.array([dt], t)
+    if pa.types.is_float64(t):
+        return pa.array([_DEC18_2_MAX_DOUBLE], t)
+    if pa.types.is_int64(t):
+        return pa.array([2**62], t)
+    if pa.types.is_int32(t):
+        return pa.array([2**31 - 1], t)
+    if pa.types.is_string(t):
+        if field.name == "text":
+            return pa.array([_BIG_TEXT], t)
+        if field.name == "props":
+            return pa.array(['{"k":"' + _BIG_STR + '"}'], t)
+        return pa.array([_BIG_STR], t)
+    if pa.types.is_list(t):
+        return pa.array([[(_FLT_MAX if i % 2 == 0 else -_FLT_MAX) for i in range(64)]], t)
+    raise AssertionError(f"maxvals: unhandled type {t} for {table_name}.{field.name}")
+
+
+def _maxvals_row(table: pa.Table, name: str) -> pa.Table:
+    one = table.slice(0, 1)
+    cols = []
+    for field in one.schema:
+        if field.name in _KEY_COLS:
+            cols.append(one.column(field.name))
+        else:
+            cols.append(_maxvals_value(field, name))
+    return pa.table(cols, schema=one.schema)
+
 
 @pytest.fixture(scope="session")
 def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
     root = tmp_path_factory.mktemp("degenerate")
     dirs = {}
-    for kind in ("empty", "one_row", "null_payload", "empty_facts", "clones"):
+    for kind in ("empty", "one_row", "null_payload", "empty_facts", "clones", "maxvals"):
         d = root / kind
         d.mkdir()
         dirs[kind] = str(d)
@@ -83,6 +147,7 @@ def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
         facts_slice = src.slice(0, 0) if name in _FACT_TABLES else src
         pq.write_table(facts_slice, f"{dirs['empty_facts']}/{name}.parquet")
         pq.write_table(pa.concat_tables([src.slice(0, 1)] * 64), f"{dirs['clones']}/{name}.parquet")
+        pq.write_table(_maxvals_row(src, name), f"{dirs['maxvals']}/{name}.parquet")
     return dirs
 
 

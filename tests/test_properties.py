@@ -230,24 +230,32 @@ def test_packing_arithmetic_reference(spark, tok_counts, ctx):
 # ---------------------------------------------------------------------------
 
 
-@given(xs=st.lists(st.floats(min_value=-8.0, max_value=8.0, width=32), min_size=1, max_size=16))
+@given(
+    xs=st.lists(
+        st.floats(min_value=-3.4e38, max_value=3.4e38, width=32), min_size=1, max_size=16
+    )
+)
 @SET
 def test_pd04_python_quantization_matches_duckdb_round(xs):
     """pd04's worker quantizes with an exact fractional-part test; it
-    must agree with DuckDB's round(x*1000) (the oracle twin's grid) for
-    arbitrary float32 inputs, including representation-boundary values —
-    the bug class the naive floor(x+0.5) has."""
+    must agree with DuckDB's round(clamp(x)*1000) (the oracle twin's
+    grid) for arbitrary float32 inputs — including representation-
+    boundary values (the bug class the naive floor(x+0.5) has) and the
+    ±FLT_MAX saturation region (the r9 maxvals class: the shared clamp
+    to ±1000 is what keeps the BIGINT cast total on both engines)."""
     import duckdb
     import numpy as np
 
     v = np.array(xs, dtype=np.float32).astype(np.float64)
-    mag = np.abs(v) * 1000.0
+    mag = np.minimum(np.abs(v), 1000.0) * 1000.0
     fl = np.floor(mag)
     q = (fl + (mag - fl >= 0.5)).astype(np.int64) * np.where(v < 0, -1, 1)
     con = duckdb.connect()
     got = [
         con.execute(
-            "SELECT CAST(round(CAST(? AS DOUBLE) * 1000) AS BIGINT)", [float(x)]
+            "SELECT CAST(round(least(greatest(CAST(? AS DOUBLE), -1000.0), 1000.0)"
+            " * 1000) AS BIGINT)",
+            [float(x)],
         ).fetchone()[0]
         for x in v
     ]

@@ -86,7 +86,11 @@ def _round_half_away(v: float) -> int:
 
 
 def _quantize(vec) -> tuple[int, ...]:
-    return tuple(_round_half_away(float(x) * 1000.0) for x in vec)
+    # saturating quantizer: |x| clamps to 1000 before scaling (the r9
+    # overflow-totality contract, operators/similarity.py::quantize)
+    return tuple(
+        _round_half_away(max(-1000.0, min(1000.0, float(x))) * 1000.0) for x in vec
+    )
 
 
 def _hyperplane_signs(num_planes: int, dims: int) -> list[list[int]]:

@@ -2,13 +2,15 @@
 
 SCALE.md argues each operator's 100 TB behavior from its plan shape; this
 tool turns the riskiest of those arguments into MEASUREMENTS (r7 verdict
-ask #5).  Each audited query runs at sf0.001 / sf0.01 / sf0.1 — a 100×
-input range — and the fitted log-log slope between the two LARGEST scales
-(where constant session/job overhead distorts least) must stay within the
-operator's documented bound.  A super-linear regression (e.g. a wedge
-join gone quadratic, a containment pass gone all-pairs) shows up as an
-exponent blow-up long before it shows up as a wall-clock problem at test
-scale.
+ask #5).  Each audited query runs at sf0.001 / sf0.01 / sf0.1 plus a
+locally synthesized sf1 tier (r8 verdict ask #4; built on demand by
+tools/make_sf1.py — ~6M lineitem rows, one more decade where the data
+term, not per-job constant overhead, dominates) — a 1000× input range —
+and the fitted log-log slope between the two LARGEST scales must stay
+within the operator's documented bound.  A super-linear regression
+(e.g. a wedge join gone quadratic, a containment pass gone all-pairs)
+shows up as an exponent blow-up long before it shows up as a wall-clock
+problem at test scale.
 
 Bounds are deliberately generous (+ margin over the theoretical slope):
 the point is catching O(n^2) pretending to be O(n), not flagging noise.
@@ -16,7 +18,7 @@ A measured exponent SMALLER than the bound is expected — per-job constant
 overhead flattens the small end, and several operators carry bounded legs
 (sampled truth sets, capped buckets) that do not grow with the corpus.
 
-Usage: python tools/scaling_audit.py [--json] [query ...]
+Usage: python tools/scaling_audit.py [--json] [--no-sf1] [query ...]
 Exit 0 = every audited operator inside its bound.
 """
 
@@ -91,6 +93,12 @@ def main() -> int:
         print(f"audited set: {', '.join(sorted(AUDITED))}", file=sys.stderr)
         sys.exit(2)
 
+    sf_dirs = list(SF_DIRS)
+    if "--no-sf1" not in sys.argv:
+        from tools.make_sf1 import ensure_sf1
+
+        sf_dirs.append((ensure_sf1(), 1.0))
+
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -103,14 +111,15 @@ def main() -> int:
     for name in names:
         bound, why = AUDITED[name]
         times = []
-        for sf_dir, sf in SF_DIRS:
+        for sf_dir, sf in sf_dirs:
             best = math.inf
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             times.append((sf, best))
-        # slope over the largest decade (0.01 -> 0.1): constant overhead
+        # slope over the largest measured decade (0.1 -> 1 when the local
+        # sf1 tier is present, else 0.01 -> 0.1): constant overhead
         # contributes least there; the full 3-point fit is reported too
         (sf_a, t_a), (sf_b, t_b) = times[-2], times[-1]
         exp_top = math.log(t_b / t_a) / math.log(sf_b / sf_a)

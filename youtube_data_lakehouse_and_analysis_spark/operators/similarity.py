@@ -26,10 +26,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+QUANTIZE_CLAMP = 1000.0  # |x| saturates here before scaling (see quantize)
+
+
 def quantize(col: Column | str, scale: int = 1000) -> Column:
-    """array<float> → array<bigint> via round(x*scale)."""
+    """array<float> → array<bigint> via round(clamp(x)*scale).
+
+    The clamp to ±QUANTIZE_CLAMP is the quantizer's SATURATION bound: it
+    never binds on real embedding corpora (values are unit-norm-ish,
+    |x| ≪ 1000), but it makes the integer pipeline total — a corrupt or
+    adversarial ±FLT_MAX component would otherwise overflow the BIGINT
+    cast under ANSI mode (maxvals degenerate layout, r9), and with the
+    clamp every downstream exact-integer form stays in range: |q| ≤ 10^6,
+    so dot/norm ≤ 64·10^12 and PQ sqdist ≤ 64·(2·10^6)² ≈ 2.6·10^14,
+    far under 2^63.  The identical least/greatest appears in every
+    DuckDB twin (same saturation semantics on both engines)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    return F.transform(
+        c,
+        lambda x: F.round(
+            F.least(
+                F.greatest(x.cast("double"), F.lit(-QUANTIZE_CLAMP)), F.lit(QUANTIZE_CLAMP)
+            )
+            * scale
+        ).cast("long"),
+    )
 
 
 def int_dot(a: Column, b: Column) -> Column:

@@ -171,7 +171,7 @@ def _sql_centroid_cte() -> str:
     return """
 base AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cpos AS (
@@ -284,7 +284,7 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd06_embedding_near_dup",
     """WITH base AS (
          SELECT label AS cell, vec_id,
-                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
          FROM embeddings
        ),
        withnorm AS (

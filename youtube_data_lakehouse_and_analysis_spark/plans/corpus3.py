@@ -298,7 +298,7 @@ def ta12_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fe02_label_centroids",
     """WITH q AS (SELECT label,
                          list_transform(embedding,
-                                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000)
                                                   AS BIGINT)) AS qv
                   FROM embeddings),
        e AS (SELECT label, i - 1 AS dim, qv[i] AS qval

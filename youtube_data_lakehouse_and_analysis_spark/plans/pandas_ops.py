@@ -217,7 +217,7 @@ def _norm_batches(batches):
         x = np.asarray(v.as_py(), dtype=np.float64)
         if x.size == 0:
             return 0, None
-        mag = np.abs(x) * 1000.0
+        mag = np.minimum(np.abs(x), 1000.0) * 1000.0  # saturating quantizer (see S.quantize)
         fl = np.floor(mag)
         a = (fl + (mag - fl >= 0.5)).astype(np.int64)
         return int(a.sum()), int(a.argmax()) + 1
@@ -239,7 +239,7 @@ def _norm_batches(batches):
             continue
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         vecs = flat.reshape(len(col), -1)  # no per-element Python boxing
-        mag = np.abs(vecs) * 1000.0
+        mag = np.minimum(np.abs(vecs), 1000.0) * 1000.0  # saturating quantizer (see S.quantize)
         fl = np.floor(mag)
         q = fl + (mag - fl >= 0.5)  # exact half-away-from-zero on |x|
         a = q.astype(np.int64)
@@ -257,7 +257,7 @@ def _norm_batches(batches):
     """WITH q AS (
          SELECT vec_id,
                 list_transform(embedding,
-                  x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS a
+                  x -> abs(CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT))) AS a
          FROM embeddings)
        SELECT vec_id,
               CAST(list_sum(a) AS BIGINT) AS l1_scaled,

@@ -23,7 +23,7 @@ _SIGNS = S.hyperplane_signs(_PLANES, _DIMS)
 _QUANT = """
 base AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 withnorm AS (
@@ -180,7 +180,7 @@ def sim03_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        ),
        base AS (
          SELECT vec_id,
-                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
          FROM embeddings
        ),
        withnorm AS (
@@ -318,7 +318,7 @@ def sim06_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INT8_SQL = """
 base AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 m AS (
@@ -435,7 +435,7 @@ def _sql_projection_list() -> str:
 
 _RP_SQL = f"""base AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 red AS (
@@ -678,7 +678,7 @@ def _pq_sqdist(a: str, b: str):
 
 _PQ_CTES = f"""base AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
     cents AS (
       SELECT qv, rn - 1 AS cid FROM (
@@ -808,7 +808,7 @@ def sim11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_SQL = f"""WITH base AS (
       SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
       FROM embeddings),
     cpos AS (
       SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
@@ -1099,7 +1099,7 @@ def sim13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim14_index_balance",
     f"""WITH q AS (
           SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
           FROM embeddings),
         assign AS (
           SELECT 'ivf_cell' AS index_type, CAST(label AS VARCHAR) AS bucket FROM q
@@ -1185,7 +1185,7 @@ _SIM15_COS = (
 
 _SIM15_SQL = f"""WITH q0 AS (
           SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
           FROM embeddings),
         q1 AS (
           SELECT vec_id, label, qv,
@@ -1336,7 +1336,7 @@ _HN_K = 8  # candidate pool per anchor: hardest negative must rank in top-K
 
 _SIM16_SQL = f"""WITH q0 AS (
           SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
           FROM embeddings),
         q1 AS (
           SELECT vec_id, label, qv,
