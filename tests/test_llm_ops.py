@@ -319,6 +319,79 @@ def test_containment_bounds_and_subset_detection(spark):
         assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0
 
 
+def test_containment_prefix_filter_lossless(spark):
+    """The r10 combo-signature candidate generation must be LOSSLESS: at
+    every threshold (including τ=0, where every doc takes the
+    single-shingle path, and τ large, where prefixes are shortest) the
+    output equals an independent pure-Python all-pairs reference over the
+    same shingle sets.  The corpus plants the hard cases: an exact subset
+    pair, a tiny ≤3-shingle doc, an exact duplicate pair, and unrelated
+    fillers that share the odd shingle by chance."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = [
+        (1, base),
+        (2, base + " with a much longer tail of extra tokens " + " ".join(f"t{i}" for i in range(20))),
+        (3, "tiny doc here"),  # 1 shingle
+        (4, "tiny doc here and more"),  # 3 shingles, overlaps doc 3
+        (5, base),  # exact duplicate of 1
+        (6, " ".join(f"u{i} v{i}" for i in range(15))),
+        (7, "the quick brown cat sleeps over the lazy dog again and again"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    # independent reference: shingle sets from the engine's own shingler
+    # (that transform is covered elsewhere); pair math in pure Python
+    sh = D.shingle_rows(docs).collect()
+    sets = {}
+    for r in sh:
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for tau in (0.0, 0.3, 0.34, 0.6, 0.9):
+        expected_c, expected_j = {}, {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                common = len(sets[a] & sets[b])
+                if common == 0:
+                    continue
+                cont = common / min(len(sets[a]), len(sets[b]))
+                jac = common / len(sets[a] | sets[b])
+                if cont >= tau:
+                    expected_c[(a, b)] = (cont, jac)
+                if jac >= tau:
+                    expected_j[(a, b)] = jac
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+            for r in D.containment_pairs(docs, threshold=tau).collect()
+        }
+        assert got.keys() == expected_c.keys(), (tau, expected_c.keys() ^ got.keys())
+        for pair, (cont, jac) in expected_c.items():
+            assert got[pair] == (pytest.approx(cont), pytest.approx(jac)), (tau, pair)
+        got_j = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(docs, threshold=tau).collect()
+        }
+        assert got_j.keys() == expected_j.keys(), (tau, expected_j.keys() ^ got_j.keys())
+        for pair, jac in expected_j.items():
+            assert got_j[pair] == pytest.approx(jac), (tau, pair)
+    # integer-threshold truth variant (dd21's leg): J >= 3/10 cross-multiplied
+    expected_t = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            if c and 10 * c >= 3 * (len(sets[a]) + len(sets[b]) - c):
+                expected_t.add((a, b))
+    got_t = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_truth_pairs(docs, 3, 10).collect()
+    }
+    assert got_t == expected_t
+    assert (1, 5) in got  # exact dup survives even τ=0.9
+    assert (3, 4) in {
+        (r["doc_a"], r["doc_b"])
+        for r in D.containment_pairs(docs, threshold=0.9).collect()
+    }  # tiny-doc path: doc 3's single shingle is contained in doc 4
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """The Bloom filter may over-flag but can never miss: per source,
     exact_hits ≤ bloom_flagged and false_positives is their difference."""

@@ -50,7 +50,7 @@ AUDITED = {
     ),
     "dd18_containment_pairs": (
         1.5,
-        "linear in candidate pairs (banded blocking caps bucket width)",
+        "2-combo prefix signatures: candidates = pairs sharing >=2 shingles",
     ),
     "dd20_char_window_dup_mass": (
         1.3,

@@ -180,6 +180,144 @@ def lsh_candidate_pairs(
     return narrow_pairs.unionByName(star_pairs).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Shared prefix-filtered pair machinery (r10)
+#
+# jaccard_pairs / containment_pairs / jaccard_truth_pairs all need "every
+# doc pair whose shingle overlap clears a per-pair threshold".  The naive
+# form — self-join the (doc, shingle) rows on shingle and count — shuffles
+# Σ_s df(s)² pair rows, which goes quadratic once vocabulary saturates
+# (measured at the local sf1 tier: 238M join rows for 1 713 qualifying
+# pairs, wall-clock exponent 1.35/decade and climbing).  The machinery
+# below is the LOSSLESS fix: AllPairs/PPJoin-style prefix filtering
+# (Bayardo et al., WWW'07) lifted from single tokens to 2-shingle combo
+# signatures, then exact verification by intersecting full shingle arrays.
+# Output is IDENTICAL to the naive form at any threshold — the DuckDB
+# oracles keep the naive SQL and hash parity is the proof
+# (tests/test_llm_ops.py::test_containment_prefix_filter_lossless sweeps
+# thresholds against an independent pure-Python reference).
+# ---------------------------------------------------------------------------
+
+
+def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingles, n): per-doc shingle array in ascending GLOBAL
+    (df, shingle) order — the canonical prefix-filtering order: rare
+    shingles first, so prefixes shed the hot shingles that drive
+    candidate volume on Zipfian corpora.  n = |distinct shingles|."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+        .select(
+            F.col(id_col),
+            F.transform("ranked", lambda s: s["shingle"]).alias("shingles"),
+            F.size("ranked").alias("n"),
+        )
+    )
+
+
+def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs, COMPLETE for every pair
+    sharing ≥ 1 shingle whose true overlap ≥ the ``t`` column of its
+    smaller side (callers derive t from their threshold; docs with t ≤ 1
+    can qualify on a single shared shingle and take a direct
+    shingle-equality path instead).
+
+    Combo-prefix argument: a pair with n_common ≥ t ≥ 2 shares its 2
+    globally-smallest common shingles, and those sit inside the smaller
+    doc's first n - t + 2 positions (if that prefix held < 2 of the
+    shared set, > t - 2 shared shingles would be squeezed into the n - L
+    suffix).  The smaller side therefore probes with its prefix combos
+    (its own t IS the pair's t when it is the min side — or a lower
+    bound, which only lengthens the prefix), while the larger side
+    indexes ALL its combos; both roles are emitted for every doc since
+    the smaller side is unknown at plan time."""
+
+    def combo_hashes(upto):
+        # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
+        # generated map-side with higher-order functions (no UDF), hashed
+        # to 8-byte keys so the candidate join shuffles longs, not ~40-char
+        # shingle-pair strings.  Hash collisions only ADD candidates; the
+        # verify stage is exact, so the output is unaffected.  (Measured
+        # alternatives at sf1, both slower or broken: pre-hashing shingles
+        # to a long array and pairing longs re-reads the second array
+        # column for every outer element (+20%); shuffle_hash on the
+        # candidate join OOMs building a 9M-row LongHashedRelation.)
+        head = F.slice("shingles", 1, upto)
+        return F.flatten(
+            F.transform(
+                head,
+                lambda x, i: F.transform(
+                    F.slice("shingles", i + F.lit(2), F.greatest(upto - i - 1, F.lit(0))),
+                    lambda y: F.xxhash64(x, y),
+                ),
+            )
+        )
+
+    big, small = arr.filter(F.col("t") >= 2), arr.filter(F.col("t") <= 1)
+    probe = big.select(
+        F.col(id_col).alias("doc_p"),
+        F.explode(combo_hashes(F.col("n") - F.col("t") + 2)).alias("combo"),
+    )
+    index = big.select(
+        F.col(id_col).alias("doc_i"),
+        F.explode(combo_hashes(F.col("n"))).alias("combo"),
+    )
+    # Both join legs are post-explode (hundreds of combos per doc), which
+    # Catalyst size-estimates from the tiny pre-explode array table — left
+    # alone it plans a broadcast of the probe side and OOMs at sf1.  Both
+    # sides are O(docs × combos): always a shuffle join, never broadcast.
+    # sort-merge by hint: shuffle_hash OOMs building a 9M-row-per-partition
+    # LongHashedRelation at sf1/8-partitions, and Catalyst's post-explode
+    # size misestimate would otherwise pick broadcast (see below)
+    combo_cand = (
+        probe.hint("merge")
+        .join(index, "combo")
+        .filter(F.col("doc_p") != F.col("doc_i"))
+        .select(
+            F.least("doc_p", "doc_i").alias("doc_a"),
+            F.greatest("doc_p", "doc_i").alias("doc_b"),
+        )
+    )
+    small_sh = small.select(F.col(id_col).alias("doc_s"), F.explode("shingles").alias("shingle"))
+    small_cand = (
+        small_sh.join(sh.select(F.col(id_col).alias("doc_o"), "shingle"), "shingle")
+        .filter(F.col("doc_s") != F.col("doc_o"))
+        .select(
+            F.least("doc_s", "doc_o").alias("doc_a"),
+            F.greatest("doc_s", "doc_o").alias("doc_b"),
+        )
+    )
+    return combo_cand.unionByName(small_cand).distinct()
+
+
+def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
+    """Exact verification: (doc_a, doc_b, n_a, n_b, n_common) with
+    n_common = |A∩B| from intersecting the two full shingle arrays
+    (distinct per doc, so set semantics hold) — integer counts,
+    engine-exact; pairs sharing no real shingle (possible via hash
+    collisions in candidate generation) drop out at n_common ≥ 1."""
+    va = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a"))
+    vb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n").alias("n_b"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(F.col("n_common") >= 1)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common")
+    )
+
+
+# Slack subtracted inside ceil() when the per-doc overlap requirement t
+# comes from FLOAT threshold math: it can only round t DOWN by one in the
+# razor's-edge case where τ·n lands within 1e-9 of an integer, which adds
+# candidates (lossless) — whereas a float wobble UP would shorten the
+# prefix and silently drop a boundary pair that the output filter's own
+# IEEE comparison accepts.
+_T_SLACK = 1e-9
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -191,28 +329,54 @@ def jaccard_pairs(
     (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) — integer counts, one double
-    division, so the value is engine-exact."""
+    division, so the value is engine-exact.  J ≥ τ with A the smaller
+    side implies |A∩B| ≥ τ(|A|+|B|)/(1+τ) ≥ 2τ/(1+τ)·|A|, which is the
+    per-doc overlap requirement fed to the shared prefix-filtered
+    candidate machinery (see _overlap_candidates; lossless)."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, on=["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    frac = 2.0 * float(threshold) / (1.0 + float(threshold))
+    arr = checkpoint(
+        _doc_arrays(sh, id_col).withColumn(
+            "t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_truth_pairs(
+    docs: DataFrame,
+    j_num: int,
+    j_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_common) for pairs with
+    j_den·c ≥ j_num·(n_a + n_b − c) — the cross-multiplied INTEGER
+    Jaccard threshold eval legs use (no float edge; dd21's ground
+    truth).  Same lossless candidate machinery: the threshold implies
+    c ≥ j_num(n_a+n_b)/(j_num+j_den) ≥ 2·j_num/(j_num+j_den)·min, and
+    the rational per-doc bound is ≥ 1/13 away from any integer so plain
+    float ceil cannot cross a boundary (slack kept anyway — it only
+    loosens)."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    frac = 2.0 * j_num / (j_num + j_den)
+    arr = checkpoint(
+        _doc_arrays(sh, id_col).withColumn(
+            "t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        )
+    )
+    return _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col).filter(
+        F.lit(j_den) * F.col("n_common")
+        >= F.lit(j_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     )
 
 
@@ -253,24 +417,39 @@ def containment_pairs(
     (containment ≥ τ AND jaccard < τ). Integer counts, IEEE divisions —
     engine-exact.
 
-    Scale: same verify-stage contract as jaccard_pairs — candidate-
-    scoped, never the discovery stage; the shingle equi-join and both
-    size joins shuffle on doc keys."""
+    Plan (r10): LOSSLESS prefix-filtered candidate generation instead of
+    the raw shared-shingle self-join.  The self-join's pair volume is
+    Σ_s df(s)² — measurably quadratic once vocabulary saturates (238M
+    join rows for 1 713 output pairs at the local sf1 tier) — while a
+    qualifying pair must share ≥ ceil(τ·min(n_a,n_b)) ≥ 2 shingles, so
+    joining on 2-shingle combo signatures drawn from df-ordered prefixes
+    (AllPairs/PPJoin prefix filtering lifted to combos) shrinks the
+    candidate set to pairs sharing ≥ 2 shingles (~20× fewer here;
+    far more on Zipfian corpora where prefixes shed the hot shingles).
+    Candidates are then verified exactly via array_intersect on the full
+    per-doc shingle arrays, so the output is IDENTICAL to the self-join
+    formulation — the DuckDB oracle keeps the naive SQL form and hash
+    parity is the proof.
+
+    Scale: combo emission is map-side from a per-doc array table (one
+    groupBy of shingle rows); the candidate join shuffles 8-byte hashed
+    combo keys; verification joins the (small) distinct-candidate set
+    back to doc arrays.  Still a verify-stage operator by contract —
+    discovery at 100 TB goes through LSH/blocking — but the exact form
+    now survives corpus growth that the self-join could not."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, on=["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # t = ceil(τ·n) is the overlap a partner must share when THIS doc is
+    # the smaller side of a pair (n_common ≥ τ·min ⇔ n_common ≥
+    # ceil(τ·min)); docs with t ≤ 1 (tiny docs — or every doc at τ=0)
+    # can qualify on a single shared shingle and take the direct path
+    # inside _overlap_candidates.
+    arr = checkpoint(
+        _doc_arrays(sh, id_col).withColumn(
+            "t", F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col)
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),

@@ -96,28 +96,16 @@ def dd21_lsh_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear. Both legs reuse the pinned shingle/signature fragments, so
     the eval cannot fork from the operators it measures."""
     docs = load(spark, sf_dir, "documents")
-    sh = D.shingle_rows(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
     # Both legs feed multiple count branches (their own total + the
-    # intersection); checkpoint them so the shingle self-join and the
+    # intersection); checkpoint them so the truth pair set and the
     # banding pipeline each run ONCE — same discipline as gr03's edge
     # list (at 100 TB these are the materialized pair sets any eval
-    # would persist before scoring).
+    # would persist before scoring).  r10: the truth leg goes through the
+    # shared prefix-filtered machinery (operators/dedup.py
+    # jaccard_truth_pairs) — identical pair set to the naive shingle
+    # self-join the SQL twin keeps, without its Σ df² blow-up.
     truth = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .filter(
-            _J_DEN * F.col("n_common")
-            >= _J_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
-        )
+        D.jaccard_truth_pairs(docs, _J_NUM, _J_DEN)
         .select("doc_a", "doc_b")
         .transform(checkpoint)
     )
