@@ -26,37 +26,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 9 rotates by DRIVER-ROW STALENESS (r8 verdict ask
-# #1): with every oracled query driver-green at least once across r1-r8,
-# the weakest evidence is now age, so this sample is exactly the 50
-# queries whose most recent CORRECTNESS_r{N} row is oldest — the 44 last
-# sampled in r3 plus the first 6 (name order) of the r4 cohort; all 50
-# have previous driver rows ≤r4, shrinking maximum staleness from 6
-# rounds to 1.  Computed mechanically from CORRECTNESS_r01..r08 (max
-# round per query, sort ascending by (round, name), take 50, excluding
-# the rows-only-by-design a03).  Queries whose code changed in round 9
-# but fall outside this sample are covered by the local strict sweep
-# (tools/verify_local.py) and queue for the r10 rotation.
+# in dict order.  Round 10 keeps the r9 staleness rotation policy but
+# front-loads the two queries whose SPARK PLANS changed this round
+# (dd18/dd04 prefix-filtered candidate generation — output contract
+# unchanged, so driver hash-parity on the new plans is the evidence that
+# matters most), then fills with the 48 queries whose most recent
+# CORRECTNESS_r{N} row is oldest: the full 33-query r4 remainder plus the
+# first 15 (name order) of the r5 cohort.  Computed mechanically from
+# CORRECTNESS_r01..r09 (max round per query, sort ascending by
+# (round, name)); after this rotation no oracled query's latest driver
+# row is older than r5.  Queries changed in round 10 but outside this
+# sample are covered by the local strict sweep (tools/verify_local.py)
+# and queue for the r11 rotation.
 _SAMPLE_PRIORITY = [
-    # --- last driver-sampled in r3 (44 queries) ---
-    "as01_asof_join", "as02_asof_tolerance", "cdc01_snapshot_diff",
-    "dd02_minhash_signatures", "dd03_lsh_candidate_pairs",
-    "dd04_jaccard_pairs", "dd05_simhash", "dd06_embedding_near_dup",
-    "dd07_dup_clusters", "dd10_decontaminate", "dd11_edit_distance_verify",
-    "dq01_expectations", "ev02_retention_cohorts", "ev04_last_touch",
-    "ev05_timed_conversion", "ev06_transition_matrix", "f10_fill_with_first",
-    "f11_percentiles", "f12_array_agg_sorted", "f13_higher_order",
-    "fe01_feature_hashing", "ia01_incremental_agg", "ir01_keyword_topk",
-    "j07_like_dim_join", "q01_project_filter", "q02_sort_desc",
-    "q03_topk_orders", "q04_project_sort", "q05_groupwise_max_window",
-    "q06_topk_lineitem", "q07_supplier_sort", "q08_distinct_year",
-    "q09_groupby_avg", "q10_topk_count", "q11_scalar_subquery",
-    "rj01_range_join_agg", "sim04_ivf_topk", "sj01_salted_join_agg",
-    "sm01_deterministic_sample", "sm04_source_mixing", "ta09_redact_terms",
-    "ta10_merge_pairs", "u01_union_by_name", "w06_value_windows",
-    # --- last driver-sampled in r4 (first 6 by name) ---
-    "a02_count_distinct", "a04_rollup", "a05_cube", "a06_having",
-    "a07_minmax_stats", "a08_grouping_sets",
+    # --- Spark plan changed in r10 (prefix filtering; last driver r7/r9) ---
+    "dd18_containment_pairs", "dd04_jaccard_pairs",
+    # --- last driver-sampled in r4 (33 queries) ---
+    "a12_grouping_id",
+    "a13_histogram", "h02_best_supplier_per_part", "h04_order_priority_check",
+    "h06_forecast_revenue", "h07_volume_shipping", "h09_product_profit",
+    "h10_returned_items", "h11_important_stock", "h12_priority_by_status",
+    "h13_customer_distribution", "h14_promo_revenue", "h15_top_supplier",
+    "h16_parts_supplier_counts", "h19_disjunctive_revenue", "h20_potential_promotion",
+    "h21_waiting_suppliers", "h22_idle_rich_customers", "p02_unpivot",
+    "s01_union_all", "s02_intersect", "s03_except",
+    "s04_union_distinct", "s05_bag_set_ops", "sim02_lsh_ann_topk",
+    "ta01_token_stats", "ta05_bpe_token_count", "w02_running_sum",
+    "w03_lag_lead", "w04_rank_flavors", "w05_sliding_avg",
+    "w07_range_frame", "w08_ntile_buckets",
+    # --- last driver-sampled in r5 (first 15 by name) ---
+    "a10_mode_per_user",
+    "dd09_repeated_ngrams", "evj01_interval_join", "f01_duration_parse",
+    "j01_inner_join_agg", "j02_left_join_count", "j03_semi_join",
+    "j04_anti_join", "j06_cross_join", "j08_full_outer_join",
+    "j09_shipping_priority", "j10_not_in_subquery", "j11_local_supplier_volume",
+    "j12_large_volume_customer", "j13_exists_subquery",
 ]
 
 

@@ -132,6 +132,11 @@ def prebuild_layouts(spark) -> dict[str, dict]:
 
 def main() -> None:
     spark = get_spark("bench")
+    # ERROR-only logging for the bench run: the extended tier contains
+    # whitelisted bounded global windows (e.g. w13's Gini cumsum over a
+    # per-channel table) whose WindowExec WARNs otherwise flood the tail
+    # of the driver-captured output around the contract line.
+    spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prebuild = prebuild_layouts(spark)
