@@ -1,0 +1,227 @@
+"""Unicode/multibyte robustness sweep for the text surface (r8 ask #6).
+
+The shipped documents tiers are ASCII-ish (31-word English vocab), so the
+shingle/SimHash/BPE/tokenization/length machinery has never been exercised
+where UTF-8 gets interesting: CJK (multibyte, no spaces), emoji (astral
+code points, skin-tone modifiers, ZWJ families, regional-indicator flags),
+combining marks (the same visible word in NFC vs NFD is two DIFFERENT
+strings — no normalization is applied anywhere, by contract), and RTL
+scripts with embedded LTR digits.
+
+This sweep rebuilds the ten-table layout with a hand-built unicode
+``documents`` corpus (every other table from sf0.001 unchanged) and runs
+EVERY oracled catalog query whose SQL touches ``documents`` through the
+same strict Spark-vs-DuckDB comparison the driver gate uses.  Parity here
+pins the cross-engine unicode contract (documented in TESTDATA.md):
+
+  * ``length()`` counts Unicode CODE POINTS in both engines — an astral
+    emoji is 1, a ZWJ family is 1 per component + joiners, a combining
+    mark is its own code point (so NFD "café" is longer than NFC "café");
+  * ``substring()`` / array slicing are code-point-indexed in both;
+  * the tokenizer's ``\\s+`` split is ASCII whitespace in BOTH Java regex
+    and DuckDB's RE2 — U+3000 IDEOGRAPHIC SPACE does NOT split (a CJK
+    doc "spaced" with U+3000 is one giant token in both engines);
+  * no case folding is applied to non-ASCII text by any query (the
+    queries that lower() do so over ASCII keyword lists).
+
+A partition-invariance leg re-runs the accumulation-sensitive text
+queries under 3 vs 32 shuffle partitions on the unicode layout — same
+bit-identical requirement as tests/test_partition_invariance.py, here
+specifically because multibyte strings change hash inputs and sort keys.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import unicodedata
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_DIR, TABLES
+from .oracle_util import rows_multiset
+
+# ---------------------------------------------------------------------------
+# corpus — every doc deliberately exercises a unicode hazard class; exact
+# duplicates, token-level near-duplicates, and within-doc repeats are
+# planted so the dedup queries produce non-trivial output
+# ---------------------------------------------------------------------------
+
+_NFC_CAFE = unicodedata.normalize("NFC", "café résumé naïve façade")
+_NFD_CAFE = unicodedata.normalize("NFD", "café résumé naïve façade")
+assert _NFC_CAFE != _NFD_CAFE  # distinct strings by contract
+
+_CJK = "数据湖中的分析引擎在大规模语料上去重与相似检索"
+_CJK_U3000 = "数据湖　分析引擎　大规模　语料去重"  # ideographic space
+_EMOJI = "😀 data 👍🏽 lake 👨‍👩‍👧‍👦 engine 🇯🇵 flag 🎉🎉🎉"
+_ARABIC = "محرك تحليل بيانات يعالج 100 تيرابايت يوميا في السحابة"
+_HEBREW = "מנוע ניתוח נתונים מעבד spark ביעילות רבה מאוד"
+_MIXED = "spark данные データ 데이터 dados दत्तांश"
+_HOMOGLYPH = "аnalytics еngine"  # Cyrillic а/е lookalikes — distinct tokens
+
+_UNI_DOCS: list[tuple[str, str]] = [
+    # (text, lang) — lang labels drawn from the generator's en/zh/es/fr/de set
+    (_CJK, "zh"),
+    (_CJK, "zh"),  # exact duplicate pair (dd01/dd07)
+    (_CJK + "扩展", "zh"),  # near-dup: one appended token-run
+    (_CJK_U3000, "zh"),
+    (_CJK_U3000 + "　再次 " + _CJK_U3000, "zh"),  # within-doc repeat (dd09/ta14)
+    (_EMOJI, "en"),
+    (_EMOJI, "en"),  # duplicate
+    (_EMOJI.replace("engine", "motor"), "es"),  # token-level near-dup
+    (_NFC_CAFE + " quality data pipeline engine", "fr"),
+    (_NFD_CAFE + " quality data pipeline engine", "fr"),  # NFC/NFD near-dup pair
+    (_ARABIC, "en"),
+    (_ARABIC + " with latin tail tokens", "en"),
+    (_HEBREW, "en"),
+    (_MIXED + " " + _MIXED, "de"),  # doubled mixed-script text
+    (_HOMOGLYPH + " analytics engine", "en"),  # homoglyph vs ASCII twins
+    ("　　", "en"),  # only ideographic spaces: ONE token in both engines
+    ("x", "en"),  # single ASCII char
+    ("🎉", "en"),  # single astral char
+]
+# widen with deterministic composites so groupwise stats have real groups
+for _i in range(30):
+    _base, _lang = _UNI_DOCS[_i % len(_UNI_DOCS)]
+    _UNI_DOCS.append((f"{_base} pad{_i} " + _CJK[_i % 20], _lang))
+
+
+def _build_documents() -> pa.Table:
+    rows = {
+        "doc_id": list(range(len(_UNI_DOCS))),
+        "text": [t for t, _ in _UNI_DOCS],
+        "lang": [lang for _, lang in _UNI_DOCS],
+        "source": [f"src{i % 5}" for i in range(len(_UNI_DOCS))],
+        "n_chars": [len(t) for t, _ in _UNI_DOCS],  # code points, matching both engines' length()
+    }
+    return pa.table(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
+@pytest.fixture(scope="session")
+def unicode_dir(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("unicode_layout")
+    for name in TABLES:
+        if name == "documents":
+            pq.write_table(_build_documents(), str(root / "documents.parquet"))
+        else:
+            shutil.copy(pathlib.Path(SF_DIR) / f"{name}.parquet", root / f"{name}.parquet")
+    return str(root)
+
+
+@pytest.fixture(scope="session")
+def unicode_ddb(unicode_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{unicode_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+# dd11 is excluded from DuckDB parity on THIS layout only: Spark's
+# levenshtein counts code-point edits while DuckDB's counts BYTE edits,
+# so the twin is exact on the (ASCII) driver tiers but diverges on
+# multibyte text by design.  The unicode layout instead verifies dd11's
+# distances against a pure-Python code-point reference below
+# (test_unicode_edit_distance_reference) — a stronger check than the twin.
+_BYTE_SEMANTICS_DIVERGENT = {"dd11_edit_distance_verify"}
+
+
+def _doc_queries() -> list[str]:
+    oracles = entrymod.oracle_sql()
+    return sorted(
+        n
+        for n, sql in oracles.items()
+        if "documents" in sql and n not in _BYTE_SEMANTICS_DIVERGENT
+    )
+
+
+@pytest.mark.parametrize("name", _doc_queries())
+def test_unicode_oracle_parity(spark, unicode_dir, unicode_ddb, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, unicode_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = unicode_ddb.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"columns spark={sorted(scols)} duckdb={sorted(dcols)}"
+    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    sm = rows_multiset(scols, srows)
+    dm = rows_multiset(dcols, drows)
+    assert sm == dm, (
+        f"{name}: unicode corpus value mismatch; "
+        f"first spark={sm[:2]} duckdb={dm[:2]}"
+    )
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    # classic DP over CODE POINTS (Python strings are code-point sequences)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_unicode_edit_distance_reference(spark, unicode_dir):
+    """dd11 on the unicode corpus, distances checked against a pure-Python
+    code-point levenshtein over the same 200-code-point prefixes (the
+    DuckDB twin is byte-based and diverges here by design — see
+    _BYTE_SEMANTICS_DIVERGENT)."""
+    texts = {t["doc_id"]: t["text"] for t in _build_documents().to_pylist()}
+    rows = entrymod.queries()["dd11_edit_distance_verify"](spark, unicode_dir).collect()
+    assert rows, "LSH candidates must survive on a corpus with planted duplicates"
+    for r in rows:
+        expect = _py_levenshtein(texts[r["doc_a"]][:200], texts[r["doc_b"]][:200])
+        assert r["edit_dist"] == expect, (r["doc_a"], r["doc_b"], r["edit_dist"], expect)
+        assert r["is_dup"] == (expect * 10 <= 200)
+
+
+# hashing/shingling/fingerprint queries where multibyte strings feed the
+# accumulation order most directly
+_SENSITIVE = [
+    "dd02_minhash_signatures",
+    "dd05_simhash",
+    "dd20_char_window_dup_mass",
+    "ta04_fingerprint",
+    "ta05_bpe_token_count",
+]
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_unicode_partition_invariance(spark, unicode_dir, name):
+    fn = entrymod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _multiset(fn(spark, unicode_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _multiset(fn(spark, unicode_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert wide == narrow, f"{name}: unicode result depends on shuffle partition count"

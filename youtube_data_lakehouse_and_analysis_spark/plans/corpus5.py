@@ -575,7 +575,7 @@ def _ta20_sql() -> str:
         merges AS (SELECT {piv_cols} FROM ranked WHERE rk <= {_N_MERGES}),
         applied AS (
           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens_before,
-                 len(string_split(trim({applied}), ' ')) AS n_tokens_after
+                 len(string_split(trim({applied}, ' '), ' ')) AS n_tokens_after
           FROM documents CROSS JOIN merges)
         SELECT doc_id, n_tokens_before, n_tokens_after,
                n_tokens_before - n_tokens_after AS n_merged

@@ -17,7 +17,11 @@ from ..operators import dedup as D
 from .queries import query
 
 # DuckDB twins of normalize_text / tokens / word_shingles(k=3)
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# trim's second arg pins ASCII-space-only trimming: DuckDB's 1-arg trim
+# strips Unicode spaces (e.g. U+3000) while Spark's trim is ASCII-only,
+# and the engine's normalize_text (functions/text.py) is the contract
+# (see TESTDATA.md "Unicode contract").
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')"
 _TOKS_CTE = f"""
 norm AS (
   SELECT doc_id,

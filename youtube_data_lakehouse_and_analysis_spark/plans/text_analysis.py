@@ -13,7 +13,11 @@ from ..catalog import load
 from ..functions.text import normalize_text, tokens
 from .queries import query
 
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# trim's second arg pins ASCII-space-only trimming: DuckDB's 1-arg trim
+# strips Unicode spaces (e.g. U+3000) while Spark's trim is ASCII-only,
+# and the engine's normalize_text (functions/text.py) is the contract
+# (see TESTDATA.md "Unicode contract").
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')"
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
 
 # tiny stopword profiles for the language-ID heuristic (n-gram/stopword
@@ -173,7 +177,7 @@ def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta06_vocabulary",
     r"""WITH norm AS (
           SELECT doc_id,
-                 list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), ' '),
                              x -> x <> '') AS toks
           FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS token FROM norm)
