@@ -478,3 +478,59 @@ def test_w08b_quartile_agreement_matches_python(spark):
     assert got["n_orders"] == n
     assert got["n_agree"] == sum(agree.values())
     assert got["agree_rate"] == float(sum(agree.values())) / float(n)
+
+
+# ---------------------------------------------------------------------------
+# dd18 / dd04 — prefix-filtered exact pair generation (r10 rewrite) vs an
+# all-pairs inverted-index reference on the REAL sf0.001 corpus (the
+# crafted-corpus threshold sweep lives in test_llm_ops.py; this row pins
+# the production tier: pair sets AND both IEEE ratios, bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def _all_pair_overlaps():
+    docs = _read("documents", "doc_id", "text")
+    sh = {d: _shingles(t) for d, t in docs}
+    inv: dict[str, list[int]] = defaultdict(list)
+    for d, s in sh.items():
+        for g in s:
+            inv[g].append(d)
+    common: Counter = Counter()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                common[(ds[i], ds[j])] += 1
+    return sh, common
+
+
+def test_dd18_containment_matches_python_all_pairs(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.dedup import dd18_containment_pairs
+
+    sh, common = _all_pair_overlaps()
+    expected = {}
+    for (a, b), c in common.items():
+        cont = c / min(len(sh[a]), len(sh[b]))
+        if cont >= 0.3:
+            expected[(a, b)] = (cont, c / (len(sh[a]) + len(sh[b]) - c))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in dd18_containment_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected  # pair set AND both single-division floats, bit-equal
+
+
+def test_dd04_jaccard_matches_python_all_pairs(spark):
+    from youtube_data_lakehouse_and_analysis_spark.plans.dedup import dd04_jaccard_pairs
+
+    sh, common = _all_pair_overlaps()
+    expected = {}
+    for (a, b), c in common.items():
+        jac = c / (len(sh[a]) + len(sh[b]) - c)
+        if jac >= 0.02:
+            expected[(a, b)] = jac
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd04_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
