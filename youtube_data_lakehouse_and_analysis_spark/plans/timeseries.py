@@ -106,11 +106,11 @@ def ts02_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH sums AS (
          SELECT l_returnflag,
                 COUNT(*) AS n,
-                SUM(CAST(l_quantity AS BIGINT)) AS sx,
-                SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-                SUM(CAST(l_linenumber AS BIGINT)) AS sy,
-                SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy,
-                SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy
+                SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+                SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+                SUM(CAST(l_linenumber AS HUGEINT)) AS sy,
+                SUM(CAST(l_linenumber AS HUGEINT) * CAST(l_linenumber AS HUGEINT)) AS syy,
+                SUM(CAST(l_quantity AS HUGEINT) * CAST(l_linenumber AS HUGEINT)) AS sxy
          FROM lineitem GROUP BY l_returnflag
        )
        SELECT l_returnflag, n,
@@ -128,8 +128,12 @@ def a09_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring): the shuffle moves 6 longs per group, not raw rows —
     the same partial-aggregation shape as any sum, at any scale."""
     li = load(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("bigint")
-    y = F.col("l_linenumber").cast("bigint")
+    # DECIMAL(19,0) operands so the squared/cross products carry 38
+    # digits (twin: HUGEINT): BIGINT products overflow under ANSI at
+    # magnitude extremes (maxvals layout, r10) — and a silent
+    # try_multiply NULL would be a wrong statistic, not a guard
+    x = F.col("l_quantity").cast("decimal(19,0)")
+    y = F.col("l_linenumber").cast("decimal(19,0)")
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
