@@ -30,8 +30,9 @@ registered query against each:
                        counters at 2^62, int32s at 2^31-1, money doubles
                        at the largest double that casts into
                        DECIMAL(18,2) (9999999999999998.0), [0,1]-rate
-                       columns at 1.0, timestamps at year 9999 (and
-                       l_shipdate at year 1 for the far-past side),
+                       columns at 1.0, timestamps at year 9998 (and
+                       l_shipdate at 1583 for the far-past side — the
+                       round-trippable edges, see _maxvals_value),
                        documents.text at ~1 MB of distinct tokens, other
                        strings at 64 KB, embeddings alternating
                        +/-FLT_MAX.  Under ANSI mode any unguarded
@@ -97,10 +98,21 @@ def _maxvals_value(field: pa.Field, table_name: str):
     if field.name in _RATE_COLS:
         return pa.array([1.0], t)
     if pa.types.is_timestamp(t):
+        # Temporal extremes are the edges of the ROUND-TRIPPABLE range,
+        # not the storage range (r10): pyspark's driver-side conversion
+        # rebases zoned timestamps through the hybrid Julian/Gregorian
+        # calendar, so instants before 1582-10-15 land in year 0 — below
+        # Python datetime's floor — and Python's year-9999 ceiling means
+        # any +interval arithmetic on a 9999-12-31 value (due dates,
+        # +3 months, session-window ends) is unrepresentable at collect
+        # regardless of plan.  1583-01-01 / 9998-12-01 keep full
+        # magnitude pressure while leaving ≥ 13 months of arithmetic
+        # headroom; both documented limits are pyspark/Python driver
+        # boundaries, not plan bugs.
         dt = (
-            datetime.datetime(1, 1, 2, 0, 0, 0)
+            datetime.datetime(1583, 1, 1, 0, 0, 0)
             if field.name in _FAR_PAST_COLS
-            else datetime.datetime(9999, 12, 31, 23, 59, 59)
+            else datetime.datetime(9998, 12, 1, 23, 59, 59)
         )
         return pa.array([dt], t)
     if pa.types.is_float64(t):

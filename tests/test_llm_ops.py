@@ -336,6 +336,11 @@ def test_containment_prefix_filter_lossless(spark):
         (5, base),  # exact duplicate of 1
         (6, " ".join(f"u{i} v{i}" for i in range(15))),
         (7, "the quick brown cat sleeps over the lazy dog again and again"),
+        # giant docs above _COMBO_MAX_SHINGLES (300+ shingles): both route
+        # through the single-shingle path; this near-dup pair (one token
+        # changed) and giant⊃base containments must still surface
+        (8, base + " " + " ".join(f"g{i}" for i in range(320))),
+        (9, base + " " + " ".join(("CHANGED" if i == 150 else f"g{i}") for i in range(320))),
     ]
     docs = spark.createDataFrame(corpus, ["doc_id", "text"])
     # independent reference: shingle sets from the engine's own shingler

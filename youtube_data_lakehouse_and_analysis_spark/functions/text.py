@@ -37,14 +37,50 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     [i, i+k) with single spaces.
 
     Docs shorter than k tokens yield a single shingle of the whole text
-    (so every doc has ≥1 shingle and MinHash is defined everywhere)."""
-    t = tokens(col)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
-    )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", t))))
+    (so every doc has ≥1 shingle and MinHash is defined everywhere).
+
+    The token array is BOUND once per row (see ``bind``): referencing
+    `tokens(col)` directly inside the per-shingle lambda re-evaluates the
+    whole normalize+split pipeline for EVERY sequence element —
+    O(n·|text|) per row, hours on one 1 MB document (caught by the
+    maxvals degenerate layout, r10)."""
+
+    def build(tok: Column) -> Column:
+        n = F.size(tok)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+        )
+        return F.array_distinct(
+            F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", tok)))
+        )
+
+    return bind(tokens(col), build)
+
+
+def bind(col: Column, fn) -> Column:
+    """Let-expression idiom: evaluate ``col`` ONCE per row and pass the
+    bound value into ``fn``.  Neither withColumn nor select aliases are
+    evaluation barriers — CollapseProject inlines the aliased expression
+    into every consumer, so referencing an expensive expression inside a
+    per-element higher-order-function lambda re-evaluates it for EVERY
+    element (the O(n·|text|) class the maxvals layout caught in
+    word_shingles/ta04/dd20, r10).  A 1-element array transform is a real
+    binder: the lambda variable holds the evaluated value."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def char_array(col: Column | str) -> Column:
+    """The string as an array of single code-point strings — the O(1)-index
+    representation for rolling char windows.  `substr(s, i, w)` must SCAN
+    to code point i on a variable-width encoding (O(i) per call), so any
+    rolling window over positions is O(L²) in string length — hours on one
+    1 MB document (caught by the maxvals degenerate layout, r10); slicing
+    a materialized char array is O(w) per window.  The trailing
+    `F.slice(..., 1, length)` pins the element count to exactly L (Java's
+    split keeps a trailing empty string under limit -1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(F.split(c, ""), F.lit(1), F.greatest(F.length(c), F.lit(0)))
 
 
 def md5_keyed(seed: Column | str | int, value: Column) -> Column:

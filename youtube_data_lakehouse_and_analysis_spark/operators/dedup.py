@@ -217,6 +217,12 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# Combo-emission bound: a doc on the combo path emits ≤ C(n,2) 8-byte
+# keys, so n is capped at 256 (≤ ~32k combos/doc); larger docs take the
+# lossless single-shingle path (see _overlap_candidates docstring).
+_COMBO_MAX_SHINGLES = 256
+
+
 def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs, COMPLETE for every pair
     sharing ≥ 1 shingle whose true overlap ≥ the ``t`` column of its
@@ -232,7 +238,16 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     (its own t IS the pair's t when it is the min side — or a lower
     bound, which only lengthens the prefix), while the larger side
     indexes ALL its combos; both roles are emitted for every doc since
-    the smaller side is unknown at plan time."""
+    the smaller side is unknown at plan time.
+
+    Combo emission is O(n²) per doc, so it is BOUNDED: docs with more
+    than _COMBO_MAX_SHINGLES distinct shingles skip the combo stage and
+    route through the single-shingle inverted-index path alongside the
+    t ≤ 1 docs (joining their shingle rows against the full corpus is
+    lossless for ANY threshold — a qualifying pair shares ≥ 1 shingle).
+    Without the bound, one pathological document (the maxvals layout's
+    1 MB text = ~140k distinct shingles) emits C(140k, 2) ≈ 10¹⁰ combos
+    — the exact single-giant-row hazard a 100 TB corpus will contain."""
 
     def combo_hashes(upto):
         # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
@@ -255,7 +270,8 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             )
         )
 
-    big, small = arr.filter(F.col("t") >= 2), arr.filter(F.col("t") <= 1)
+    combo_ok = (F.col("t") >= 2) & (F.col("n") <= _COMBO_MAX_SHINGLES)
+    big, small = arr.filter(combo_ok), arr.filter(~combo_ok)
     probe = big.select(
         F.col(id_col).alias("doc_p"),
         F.explode(combo_hashes(F.col("n") - F.col("t") + 2)).alias("combo"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import checkpoint, load
-from ..functions.text import md5_keyed, md5_prefix_long, sql_md5_prefix_long
+from ..functions.text import bind, char_array, md5_keyed, md5_prefix_long, sql_md5_prefix_long
 from .queries import query
 
 # ---------------------------------------------------------------------------
@@ -488,18 +488,21 @@ def dup_mass_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc char-window duplicate mass: (doc_id, n_windows,
     n_dup_windows, dup_mass_permille). Shared by dd20 and pp02."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # Windows are built MAP-SIDE as one transform over a materialized char
+    # array, then exploded: the previous explode-positions-then-substring
+    # form both copied the full text into every exploded row and paid
+    # substring's O(p) code-point scan per window — O(L²/stride) per doc,
+    # hours on the maxvals layout's 1 MB text (r10); this form is
+    # O(L·win/stride) with identical window strings.
+    def windows(chars):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(chars) - (_WIN - 1), F.lit(_STRIDE)),
+            lambda p: F.concat_ws("", F.slice(chars, p, _WIN)),
+        )
+
     wpos = (
         d.filter(F.length("text") >= _WIN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.length("text") - (_WIN - 1), F.lit(_STRIDE)
-                )
-            ).alias("p"),
-            "text",
-        )
-        .select("doc_id", F.expr(f"substring(text, p, {_WIN})").alias("w"))
+        .select("doc_id", F.explode(bind(char_array("text"), windows)).alias("w"))
     )
     fr = (
         wpos.select("doc_id", "w")

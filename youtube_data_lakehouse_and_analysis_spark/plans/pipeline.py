@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import bind, char_array
 from ..catalog import load
 from .queries import query
 
@@ -161,7 +162,7 @@ _STRIDE = 100
                md5(substring(text, CAST(i * {_STRIDE} + 1 AS INTEGER), {_CHUNK})) AS chunk_md5,
                CAST(length(substring(text, CAST(i * {_STRIDE} + 1 AS INTEGER), {_CHUNK})) AS BIGINT)
                  AS chunk_len
-        FROM documents, UNNEST(range(0, (n_chars - 1) // {_STRIDE} + 1)) AS t(i)""",
+        FROM documents, UNNEST(range(0, (length(text) - 1) // {_STRIDE} + 1)) AS t(i)""",
 )
 def ta08_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length shaping: split every document into {_CHUNK}-char
@@ -176,21 +177,33 @@ def ta08_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     / {_STRIDE}. Downstream shard assembly (group chunks to ~equal-token
     files) adds exactly one repartitionByRange on a hash key."""
     docs = load(spark, sf_dir, "documents")
-    n_chunks_minus1 = F.expr(f"(n_chars - 1) div {_STRIDE}")
-    chunk = F.substring(
-        F.col("text"), F.col("i") * _STRIDE + 1, _CHUNK
-    )  # substring(col, pos, len) accepts Column pos since Spark 4
+
+    # Chunk count derives from the TEXT, not the denormalized n_chars
+    # column (metadata can lie — the maxvals layout's n_chars = 2^62
+    # drove sequence() past the array limit, r10), and chunks slice a
+    # BOUND char array (functions/text.py bind + char_array): substring
+    # with a column position scans to the code point, O(L²/stride) per
+    # doc on a 1 MB text; the array form is O(L·chunk/stride) with
+    # identical chunk strings.
+    def chunks(ch):
+        return F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.greatest(F.size(ch) - 1, F.lit(0)) / _STRIDE).cast("int"),
+            ),
+            lambda i: F.concat_ws("", F.slice(ch, i * _STRIDE + 1, _CHUNK)),
+        )
+
     return (
         docs.select(
             "doc_id",
-            "text",
-            F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("i"),
+            F.posexplode(bind(char_array("text"), chunks)).alias("idx", "w"),
         )
         .select(
             "doc_id",
-            F.col("i").cast("bigint").alias("chunk_idx"),
-            F.md5(chunk).alias("chunk_md5"),
-            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.col("idx").cast("bigint").alias("chunk_idx"),
+            F.md5("w").alias("chunk_md5"),
+            F.length("w").cast("bigint").alias("chunk_len"),
         )
     )
 

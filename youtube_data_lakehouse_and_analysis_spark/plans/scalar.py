@@ -184,8 +184,8 @@ def f06_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f07_json_extract",
     """SELECT event_id,
-              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
-              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_regex
+              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+              TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_regex
        FROM events""",
 )
 def f07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,10 +193,12 @@ def f07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in get_json_object path and the regexp fallback both stay
     JVM-side."""
     ev = load(spark, sf_dir, "events")
+    # try_cast: a malformed or non-numeric payload value is NULL, not an
+    # ANSI cast crash (maxvals layout plants a 64 KB string under $.k, r10)
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_json"),
-        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_regex"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_json"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("long").alias("k_regex"),
     )
 
 
@@ -254,8 +256,8 @@ def f09_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f16_variant_extract",
     """SELECT event_id,
-              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
-              CAST(json_extract_string(props, '$.nope') AS BIGINT) AS k_missing
+              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+              TRY_CAST(json_extract_string(props, '$.nope') AS BIGINT) AS k_missing
        FROM events""",
 )
 def f16_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +277,10 @@ def f16_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        # try_variant_get on BOTH paths: a present-but-non-numeric value
+        # must be NULL like a missing one, not an INVALID_VARIANT_CAST
+        # crash (maxvals layout, r10)
+        F.try_variant_get(v, "$.k", "bigint").alias("k_variant"),
         F.try_variant_get(v, "$.nope", "bigint").alias("k_missing"),
     )
 

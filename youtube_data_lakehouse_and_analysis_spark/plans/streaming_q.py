@@ -20,7 +20,7 @@ from .queries import query
     """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
               time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
               event_type, COUNT(*) AS n,
-              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS value_sum
        FROM events GROUP BY 1, 2, 3""",
 )
 def st01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import normalize_text, tokens
+from ..functions.text import bind, char_array, normalize_text, tokens
 from .queries import query
 
 # trim's second arg pins ASCII-space-only trimming: DuckDB's 1-arg trim
@@ -156,20 +156,29 @@ def ta03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: whole-text md5 + winnowing-style minimum over
-    rolling 8-char gram hashes (robust to local edits)."""
+    rolling 8-char gram hashes (robust to local edits).
+
+    The rolling grams slice a BOUND char array (functions/text.py
+    char_array + bind) rather than calling substr(n, i, 8) per position:
+    substr scans to code point i, so the rolling form is O(L²) in text
+    length (hours on the maxvals layout's 1 MB doc, r10), and a
+    withColumn alias is no fix — project collapse inlines it back into
+    the lambda; the bound array form is O(L·8) with identical windows."""
     d = load(spark, sf_dir, "documents")
-    # Column.substr accepts column start positions (F.substring does not),
-    # so materialize the normalized text as a named column first.
     d2 = d.withColumn("n", normalize_text("text"))
+
+    def rolling_min(nch):
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(nch) - 6 - 1, F.lit(1))),
+                lambda i: F.md5(F.concat_ws("", F.slice(nch, i, F.lit(8)))),
+            )
+        )
+
     return d2.select(
         "doc_id",
         F.md5("n").alias("fp_md5"),
-        F.array_min(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("n") - 6 - 1, F.lit(1))),
-                lambda i: F.md5(F.expr("n").substr(i, F.lit(8))),
-            )
-        ).alias("fp_rolling_min"),
+        bind(char_array("n"), rolling_min).alias("fp_rolling_min"),
     )
 
 

@@ -194,12 +194,13 @@ _ZS_WIN = 9  # current row + 9 preceding = 10-event rolling frame
 @query(
     "ts03_rolling_zscore",
     f"""WITH c AS (SELECT user_id, event_id, ts,
-                          CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                          CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                          CAST(FLOOR(value * 100) AS HUGEINT) AS centsh
                    FROM events),
         rolled AS (SELECT user_id, event_id, ts, cents,
                           COUNT(*) OVER w AS n,
-                          SUM(cents) OVER w AS s,
-                          SUM(cents * cents) OVER w AS q
+                          SUM(centsh) OVER w AS s,
+                          SUM(centsh * centsh) OVER w AS q
                    FROM c
                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN {_ZS_WIN} PRECEDING AND CURRENT ROW))
@@ -232,13 +233,19 @@ def ts03_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-_ZS_WIN, 0)
     )
     c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    # moment sums in DECIMAL(19,0) operands / 38-digit products (twin:
+    # HUGEINT): BIGINT cents² overflows at magnitude extremes (maxvals
+    # layout, r10 — same widening as a09).  Documented bound: every
+    # intermediate fits 38 digits for |cents| ≤ ~2.5e17 per frame row
+    # (value ≤ $2.5e15), far past any real dollar domain.
+    centsd = F.col("cents").cast("decimal(19,0)")
     rolled = c.select(
         "user_id",
         "event_id",
         "cents",
         F.count("*").over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+        F.sum(centsd).over(w).alias("s"),
+        F.sum(centsd * centsd).over(w).alias("q"),
     )
     dev = F.col("n") * F.col("cents") - F.col("s")
     var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")

@@ -41,7 +41,9 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes", watermark: str 
         src.groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            # DECIMAL(24,6): 18 integer digits — the (18,6) form crashed on
+            # 16-digit magnitude extremes (maxvals layout, r10); twin matches
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("value_sum"),
         )
         .select(
             F.col("win.start").alias("window_start"),
