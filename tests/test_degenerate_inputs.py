@@ -163,14 +163,46 @@ def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
     return dirs
 
 
+# Per-(query, layout) wall-clock bound.  One row per table means any run
+# beyond this is a complexity bug, not load: the maxvals 1 MB document
+# exposed an O(L²)-per-row class (expressions re-evaluated per lambda
+# element; substr's per-call code-point scan) that turned single queries
+# into hours — a bound converts a future regression of that class into a
+# fast, attributable failure instead of a hung suite (r10).
+_COLLECT_TIMEOUT_S = 120
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _Timeout()
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_degenerate_inputs(spark, degenerate_dirs, name):
+    import signal
+
     fn = entrymod.queries()[name]
-    for kind, d in degenerate_dirs.items():
-        try:
-            df = fn(spark, d)
-            rows = df.collect()
-        except Exception as exc:  # noqa: BLE001 — rewrap with fixture context
-            raise AssertionError(f"{name} crashed on {kind} input: {exc}") from exc
-        assert isinstance(rows, list), (name, kind)
-        assert df.schema is not None
+    prev = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for kind, d in degenerate_dirs.items():
+            signal.alarm(_COLLECT_TIMEOUT_S)
+            try:
+                df = fn(spark, d)
+                rows = df.collect()
+            except _Timeout:
+                spark.sparkContext.cancelAllJobs()
+                raise AssertionError(
+                    f"{name} exceeded {_COLLECT_TIMEOUT_S}s on {kind} input — "
+                    "super-linear blow-up on a one-row layout"
+                ) from None
+            except Exception as exc:  # noqa: BLE001 — rewrap with fixture context
+                raise AssertionError(f"{name} crashed on {kind} input: {exc}") from exc
+            finally:
+                signal.alarm(0)
+            assert isinstance(rows, list), (name, kind)
+            assert df.schema is not None
+    finally:
+        signal.signal(signal.SIGALRM, prev)
