@@ -230,9 +230,14 @@ def test_packing_arithmetic_reference(spark, tok_counts, ctx):
 # ---------------------------------------------------------------------------
 
 
+_FLT_MAX = 3.4028234663852886e38  # exact float32 max — hypothesis requires width-exact bounds
+
+
 @given(
     xs=st.lists(
-        st.floats(min_value=-3.4e38, max_value=3.4e38, width=32), min_size=1, max_size=16
+        st.floats(min_value=-_FLT_MAX, max_value=_FLT_MAX, width=32),
+        min_size=1,
+        max_size=16,
     )
 )
 @SET
