@@ -41,6 +41,12 @@ registered query against each:
                        (e.g. olap3.py w13's v*cnt_lt bound) the way the
                        null_payload layout pinned the division class.
 
+  * ``unicode_payload`` — one row per table with every STRING payload
+                       column carrying CJK + astral emoji + modifier
+                       sequences + RTL + NFD combining marks +
+                       U+3000 (r10): no query may assume ASCII in any
+                       string column (props stays valid JSON).
+
 Contract: the query returns a DataFrame whose collect() succeeds.  No
 row-count assertions — a global aggregate legitimately returns one row of
 NULL/0 over an empty fact table; the point is no crash, no hang, and a
@@ -143,11 +149,49 @@ def _maxvals_row(table: pa.Table, name: str) -> pa.Table:
     return pa.table(cols, schema=one.schema)
 
 
+# --- unicode_payload layout --------------------------------------------------
+
+# Every STRING payload column carries the full hazard mix: CJK, an astral
+# emoji, a skin-tone modifier sequence, RTL Arabic, a combining mark (NFD),
+# and an ideographic space.  The separate unicode sweep
+# (tests/test_unicode_text.py) proves ORACLE PARITY for the documents
+# queries; this layout proves CRASH-SAFETY for every query whose string
+# columns (names, event types, markets, JSON props, …) a real corpus
+# would eventually fill with non-ASCII — no query may assume ASCII in any
+# string column (r10).
+_UNI_MIX = "数据湖 😀 👍🏽 مرحبا é　spark"
+
+
+def _unicode_value(field: pa.Field, one: pa.Table, name: str):
+    if not pa.types.is_string(field.type):
+        return one.column(field.name)
+    if field.name == "props":
+        # stays valid JSON: extraction paths must yield NULL via try_cast,
+        # not crash, when $.k holds non-numeric unicode
+        return pa.array(['{"k":"' + _UNI_MIX + '"}'], field.type)
+    return pa.array([_UNI_MIX + " " + field.name], field.type)
+
+
+def _unicode_row(table: pa.Table, name: str) -> pa.Table:
+    one = table.slice(0, 1)
+    cols = []
+    for field in one.schema:
+        if field.name in _KEY_COLS:
+            cols.append(one.column(field.name))
+        elif field.name == "n_chars":
+            # keep the metadata invariant n_chars == code-point length
+            text = _UNI_MIX + " text"
+            cols.append(pa.array([len(text)], field.type))
+        else:
+            cols.append(_unicode_value(field, one, name))
+    return pa.table(cols, schema=one.schema)
+
+
 @pytest.fixture(scope="session")
 def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
     root = tmp_path_factory.mktemp("degenerate")
     dirs = {}
-    for kind in ("empty", "one_row", "null_payload", "empty_facts", "clones", "maxvals"):
+    for kind in ("empty", "one_row", "null_payload", "empty_facts", "clones", "maxvals", "unicode_payload"):
         d = root / kind
         d.mkdir()
         dirs[kind] = str(d)
@@ -160,6 +204,7 @@ def degenerate_dirs(tmp_path_factory) -> dict[str, str]:
         pq.write_table(facts_slice, f"{dirs['empty_facts']}/{name}.parquet")
         pq.write_table(pa.concat_tables([src.slice(0, 1)] * 64), f"{dirs['clones']}/{name}.parquet")
         pq.write_table(_maxvals_row(src, name), f"{dirs['maxvals']}/{name}.parquet")
+        pq.write_table(_unicode_row(src, name), f"{dirs['unicode_payload']}/{name}.parquet")
     return dirs
 
 
