@@ -3,7 +3,7 @@ near-empty tables (r7 verdict ask #3).
 
 The oracle gate at sf0.01 can never see the empty-relation edge cases —
 ta20's N_MERGES<8 hazard (fixed r7, ADVICE.md) proved the class is real.
-This sweep rebuilds the full ten-table layout three ways and runs every
+This sweep rebuilds the full ten-table layout seven ways and runs every
 registered query against each:
 
   * ``empty``        — 0-row parquet, schemas byte-identical to the
