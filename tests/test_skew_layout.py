@@ -1,0 +1,64 @@
+"""The skew-audit layout builder must produce what SCALE.md claims it
+times: ~30% of every fact table's rows on ONE hot key (key 0), all other
+tables byte-identical, and the same physical row counts — otherwise the
+"measured skew absorption" table is measuring a layout nobody specified.
+Pure pyarrow (no Spark): validates tools/skew_audit.build_skew against a
+temp copy of sf0.001."""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from tools.skew_audit import HOT_FRAC, _SKEWED_KEYS, build_skew
+
+SRC = pathlib.Path("/root/testdata/sf0.001")
+
+
+def test_build_skew_hot_fraction_and_fidelity(tmp_path):
+    base = tmp_path / "base"
+    base.mkdir()
+    for f in SRC.glob("*.parquet"):
+        shutil.copy(f, base / f.name)
+    out = build_skew(str(base), str(tmp_path / "skewed"))
+
+    for name, key in _SKEWED_KEYS.items():
+        orig = pq.read_table(base / f"{name}.parquet")
+        skew = pq.read_table(pathlib.Path(out) / f"{name}.parquet")
+        assert skew.num_rows == orig.num_rows, name
+        assert skew.schema.equals(orig.schema), name
+        hot = pc.sum(pc.equal(skew.column(key), 0).cast("int64")).as_py()
+        frac = hot / skew.num_rows
+        # retargeted rows plus whatever already sat on key 0
+        assert HOT_FRAC <= frac <= HOT_FRAC + 0.05, (name, frac)
+        # non-key columns untouched (same multiset; rows are not reordered)
+        for field in orig.schema:
+            if field.name != key:
+                assert skew.column(field.name).equals(orig.column(field.name)), (
+                    name,
+                    field.name,
+                )
+
+    # every non-fact table is byte-identical content
+    for f in base.glob("*.parquet"):
+        name = f.stem
+        if name in _SKEWED_KEYS:
+            continue
+        assert pq.read_table(f).equals(
+            pq.read_table(pathlib.Path(out) / f.name)
+        ), name
+
+
+def test_build_skew_idempotent(tmp_path):
+    base = tmp_path / "base"
+    base.mkdir()
+    for f in SRC.glob("*.parquet"):
+        shutil.copy(f, base / f.name)
+    out = build_skew(str(base), str(tmp_path / "skewed"))
+    t1 = pq.read_table(pathlib.Path(out) / "lineitem.parquet")
+    out2 = build_skew(str(base), str(tmp_path / "skewed"))  # no rebuild
+    assert out2 == out
+    assert pq.read_table(pathlib.Path(out2) / "lineitem.parquet").equals(t1)
