@@ -113,7 +113,7 @@ def f03_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
               length(text) AS text_len,
               replace(source, 'src', 'source_') AS source_renamed,
               concat(lang, ':', source) AS lang_source,
-              trim(' ' || lang || ' ') AS lang_trim,
+              trim(' ' || lang || ' ', ' ') AS lang_trim,
               contains(text, 'spark') AS mentions_spark,
               starts_with(source, 'src1') AS is_src1
        FROM documents""",
