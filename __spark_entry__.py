@@ -26,40 +26,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 10 front-loads the 26 queries whose SPARK PLAN or
-# SQL TWIN changed this round — the prefix-filtered candidate rewrite
-# (dd18/dd04/dd21 + every shingle consumer through the word_shingles
-# let-binding fix), the maxvals overflow fixes (a09/st01/ts03 DECIMAL
-# widening; f07/f16 try_cast), the rolling-window char-array rewrites
-# (ta04/ta08/dd20 + pp01/pp02 which consume dup-mass), and the
-# ASCII-trim twin pin (dd01/ta06/ta20 and the _NORM consumers).  Output
-# contracts are unchanged everywhere, so driver hash-parity on the new
-# plans is the evidence that matters most.  The remaining 24 slots are
-# the stalest queries by most-recent CORRECTNESS_r{N} row (computed
-# mechanically from r01..r09: the r4 remainder in name order).  Changed
-# or stale queries outside this sample are covered by the local strict
-# sweep (tools/verify_local.py, 254 ok + 1 rows-only this session) and
-# queue for the r11 rotation.
+# in dict order.  Round 12 front-loads (a) the 4 queries whose SPARK PLAN
+# or SQL TWIN changed this round — the symmetric-prefix combo-emission
+# rewrite in the Jaccard/containment candidate stage (dd04/dd18/dd21) and
+# the ts03 decimal dev/var rewrite — then (b) the 44 stalest queries by
+# most-recent CORRECTNESS_r{N} row, computed mechanically from r01..r11:
+# 8 last sampled at r4 (sim02, ta05, w02-w05, w07, w08) and 36 at r5
+# (f01, the j01-j16 family, st02/st03, ts01/ts02, mm01, p01/p03, pd02,
+# po01, q12, rc01, sim03/sim05/sim06, sm02/sm03, ta07, w10, a10, dd09,
+# evj01), then (c) 2 r6 rows to fill the 50.  After this round no
+# sampled query's driver evidence is older than r6.  Queries outside the
+# sample are covered by the local strict sweep (tools/verify_local.py)
+# and queue for the r13 rotation.
 _SAMPLE_PRIORITY = [
-    # --- plan or twin changed in r10 (26) ---
-    "dd18_containment_pairs", "dd04_jaccard_pairs", "dd21_lsh_band_eval",
-    "a09_exact_moments", "ta04_fingerprint", "ta08_char_chunks",
-    "dd20_char_window_dup_mass", "f07_json_extract", "f16_variant_extract",
-    "st01_tumbling_counts", "ts03_rolling_zscore", "dd01_exact_dedup",
-    "dd02_minhash_signatures", "dd03_lsh_candidate_pairs", "dd05_simhash",
-    "dd07_dup_clusters", "dd08_canonical_corpus", "dd11_edit_distance_verify",
-    "dd16_minhash_jaccard_estimate", "ta01_token_stats", "ta02_quality_score",
-    "ta03_langid", "ta06_vocabulary", "ta20_merge_apply",
-    "pp01_corpus_pipeline", "pp02_llm_corpus_build",
-    # --- stalest driver rows (last sampled r4; 24) ---
-    "a12_grouping_id", "a13_histogram", "h02_best_supplier_per_part",
-    "h04_order_priority_check", "h06_forecast_revenue", "h07_volume_shipping",
-    "h09_product_profit", "h10_returned_items", "h11_important_stock",
-    "h12_priority_by_status", "h13_customer_distribution", "h14_promo_revenue",
-    "h15_top_supplier", "h16_parts_supplier_counts", "h19_disjunctive_revenue",
-    "h20_potential_promotion", "h21_waiting_suppliers", "h22_idle_rich_customers",
-    "p02_unpivot", "s01_union_all", "s02_intersect", "s03_except",
-    "s04_union_distinct", "s05_bag_set_ops",
+    # --- plan or twin changed in r12 (4) ---
+    "dd04_jaccard_pairs", "dd18_containment_pairs", "dd21_lsh_band_eval",
+    "ts03_rolling_zscore",
+    # --- stalest driver rows: last sampled r4 (8) ---
+    "sim02_lsh_ann_topk", "ta05_bpe_token_count", "w02_running_sum",
+    "w03_lag_lead", "w04_rank_flavors", "w05_sliding_avg",
+    "w07_range_frame", "w08_ntile_buckets",
+    # --- last sampled r5 (36) ---
+    "a10_mode_per_user", "dd09_repeated_ngrams", "evj01_interval_join",
+    "f01_duration_parse", "j01_inner_join_agg", "j02_left_join_count",
+    "j03_semi_join", "j04_anti_join", "j06_cross_join",
+    "j08_full_outer_join", "j09_shipping_priority", "j10_not_in_subquery",
+    "j11_local_supplier_volume", "j12_large_volume_customer",
+    "j13_exists_subquery", "j14_small_qty_revenue", "j15_null_safe_join",
+    "j16_lateral_topn", "mm01_binary_meta", "p01_pivot",
+    "p03_pivot_multi_agg", "pd02_udtf_bigrams", "po01_mom_growth",
+    "q12_correlated_subquery", "rc01_recursive_date_spine",
+    "sim03_pairwise_label_stats", "sim05_hybrid_filtered_ann",
+    "sim06_kmeans_step", "sm02_stratified_sample", "sm03_split_assignment",
+    "st02_sliding_counts", "st03_session_windows", "ta07_quality_filters",
+    "ts01_hourly_gap_fill", "ts02_daily_ohlc", "w10_time_range_frame",
+    # --- last sampled r6 (2, next-stalest after the above) ---
+    "a14_median_abs_deviation", "dd12_lsh_capped_pairs",
 ]
 
 
