@@ -336,11 +336,20 @@ def test_containment_prefix_filter_lossless(spark):
         (5, base),  # exact duplicate of 1
         (6, " ".join(f"u{i} v{i}" for i in range(15))),
         (7, "the quick brown cat sleeps over the lazy dog again and again"),
-        # giant docs above _COMBO_MAX_SHINGLES (300+ shingles): both route
-        # through the single-shingle path; this near-dup pair (one token
-        # changed) and giant⊃base containments must still surface
+        # giant docs (300+ shingles): under the r12 symmetric prefix
+        # bound, jaccard_pairs keeps these on the combo path whenever the
+        # index prefix (1-τ)·n + 2 fits _COMBO_MAX_PREFIX (every τ ≥ 0.3
+        # here), while containment_pairs (no symmetric bound) still
+        # routes them single-shingle; this near-dup pair (one token
+        # changed) and giant⊃base containments must surface either way
         (8, base + " " + " ".join(f"g{i}" for i in range(320))),
         (9, base + " " + " ".join(("CHANGED" if i == 150 else f"g{i}") for i in range(320))),
+        # ~600-shingle near-dups that straddle the r12 routing boundary
+        # as τ sweeps: index prefix ≈ (1-τ)·620 + 2 is > 256 at τ ≤ 0.34
+        # (single-shingle fallback) and ≤ 256 at τ ≥ 0.6 (prefix-indexed
+        # combo path) — the lossless assertion must hold on BOTH sides
+        (10, " ".join(f"q{i}" for i in range(620))),
+        (11, " ".join(("SWAPPED" if i in (100, 400) else f"q{i}") for i in range(620))),
     ]
     docs = spark.createDataFrame(corpus, ["doc_id", "text"])
     # independent reference: shingle sets from the engine's own shingler
@@ -391,6 +400,9 @@ def test_containment_prefix_filter_lossless(spark):
     }
     assert got_t == expected_t
     assert (1, 5) in got  # exact dup survives even τ=0.9
+    # the 600-shingle near-dups ride the r12 prefix-indexed combo path at
+    # τ=0.9 (index prefix ≈ 64 ≪ their 600+ shingles) and must be found
+    assert (10, 11) in got_j
     assert (3, 4) in {
         (r["doc_a"], r["doc_b"])
         for r in D.containment_pairs(docs, threshold=0.9).collect()

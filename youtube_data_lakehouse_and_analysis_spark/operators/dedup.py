@@ -217,10 +217,14 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-# Combo-emission bound: a doc on the combo path emits ≤ C(n,2) 8-byte
-# keys, so n is capped at 256 (≤ ~32k combos/doc); larger docs take the
+# Combo-emission bound: a doc on the combo path emits ≤ C(p,2) 8-byte
+# keys where p is its INDEX-side prefix length, so p is capped at 256
+# (≤ ~32k combos/doc); docs whose index prefix would be longer take the
 # lossless single-shingle path (see _overlap_candidates docstring).
-_COMBO_MAX_SHINGLES = 256
+# For symmetric metrics (Jaccard) p ≈ (1-τ)·n + 2, so at τ = 0.8 docs up
+# to ~1 270 distinct shingles stay on the combo path — the r10 form
+# indexed ALL C(n,2) combos and had to cap n itself at 256.
+_COMBO_MAX_PREFIX = 256
 
 
 def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
@@ -231,23 +235,34 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     shingle-equality path instead).
 
     Combo-prefix argument: a pair with n_common ≥ t ≥ 2 shares its 2
-    globally-smallest common shingles, and those sit inside the smaller
-    doc's first n - t + 2 positions (if that prefix held < 2 of the
-    shared set, > t - 2 shared shingles would be squeezed into the n - L
-    suffix).  The smaller side therefore probes with its prefix combos
-    (its own t IS the pair's t when it is the min side — or a lower
-    bound, which only lengthens the prefix), while the larger side
-    indexes ALL its combos; both roles are emitted for every doc since
-    the smaller side is unknown at plan time.
+    globally-smallest common shingles s₁ < s₂, and within EITHER member
+    only that doc's non-shared shingles can precede s₁ (every shared
+    shingle is ≥ s₁ by definition of s₁), so s₂ sits at position
+    ≤ n − n_common + 2 ≤ n − b + 2 for any per-doc lower bound b on the
+    pair's overlap.  The probe role uses the caller's ``t`` column (the
+    min-side bound — when the probe IS the min side its own t bounds the
+    pair, otherwise the pair's bound is even higher and the prefix only
+    over-covers).  The index role uses the SYMMETRIC bound ``ts`` when
+    the caller provides one: for Jaccard, J ≥ τ and c ≤ min(n_a,n_b)
+    give c(1+τ) ≥ τ(n_a+n_b) ≥ τ(max + c), i.e. c ≥ τ·max(n_a,n_b) ≥
+    τ·n for EACH member — so the index emits only its first
+    n − ceil(τ·n) + 2 positions' combos instead of all C(n,2) (r12;
+    VERDICT r11 item 2).  Asymmetric metrics (containment: c ≥ τ·min
+    only, the max side has no per-doc bound) pass no ``ts`` and the
+    index emits all combos as before.  Both roles are emitted for every
+    doc since the smaller side is unknown at plan time; for Jaccard
+    t = ceil(2τ/(1+τ)·n) ≥ ts = ceil(τ·n), so the probe prefix is never
+    longer than the index prefix.
 
-    Combo emission is O(n²) per doc, so it is BOUNDED: docs with more
-    than _COMBO_MAX_SHINGLES distinct shingles skip the combo stage and
-    route through the single-shingle inverted-index path alongside the
-    t ≤ 1 docs (joining their shingle rows against the full corpus is
-    lossless for ANY threshold — a qualifying pair shares ≥ 1 shingle).
-    Without the bound, one pathological document (the maxvals layout's
-    1 MB text = ~140k distinct shingles) emits C(140k, 2) ≈ 10¹⁰ combos
-    — the exact single-giant-row hazard a 100 TB corpus will contain."""
+    Combo emission is O(p²) per doc in its index-prefix length p, so p
+    is BOUNDED: docs whose index prefix exceeds _COMBO_MAX_PREFIX skip
+    the combo stage and route through the single-shingle inverted-index
+    path alongside the t ≤ 1 docs (joining their shingle rows against
+    the full corpus is lossless for ANY threshold — a qualifying pair
+    shares ≥ 1 shingle).  Without the bound, one pathological document
+    (the maxvals layout's 1 MB text = ~140k distinct shingles) emits
+    C(140k·(1−τ), 2) ≈ 10⁸⁻¹⁰ combos — the exact single-giant-row
+    hazard a 100 TB corpus will contain."""
 
     def combo_hashes(upto):
         # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
@@ -270,7 +285,14 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             )
         )
 
-    combo_ok = (F.col("t") >= 2) & (F.col("n") <= _COMBO_MAX_SHINGLES)
+    # index-side prefix: the symmetric bound when the caller derived one
+    # (ts may fall below 2 for tiny n — least() clamps the prefix back to
+    # the whole array, which only adds combos), else the full array.
+    if "ts" in arr.columns:
+        idx_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 2)
+    else:
+        idx_upto = F.col("n")
+    combo_ok = (F.col("t") >= 2) & (idx_upto <= _COMBO_MAX_PREFIX)
     big, small = arr.filter(combo_ok), arr.filter(~combo_ok)
     probe = big.select(
         F.col(id_col).alias("doc_p"),
@@ -278,7 +300,7 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     )
     index = big.select(
         F.col(id_col).alias("doc_i"),
-        F.explode(combo_hashes(F.col("n"))).alias("combo"),
+        F.explode(combo_hashes(idx_upto)).alias("combo"),
     )
     # Both join legs are post-explode (hundreds of combos per doc), which
     # Catalyst size-estimates from the tiny pre-explode array table — left
@@ -348,12 +370,17 @@ def jaccard_pairs(
     division, so the value is engine-exact.  J ≥ τ with A the smaller
     side implies |A∩B| ≥ τ(|A|+|B|)/(1+τ) ≥ 2τ/(1+τ)·|A|, which is the
     per-doc overlap requirement fed to the shared prefix-filtered
-    candidate machinery (see _overlap_candidates; lossless)."""
+    candidate machinery (see _overlap_candidates; lossless).  Jaccard is
+    SYMMETRIC — J ≥ τ also forces |A∩B| ≥ τ·max(|A|,|B|) — so ``ts`` =
+    ceil(τ·n) is attached as the index-side prefix bound (r12), keeping
+    long docs on the combo path instead of the single-shingle fallback."""
     sh = shingle_rows(docs, id_col, text_col, k)
     frac = 2.0 * float(threshold) / (1.0 + float(threshold))
     arr = checkpoint(
-        _doc_arrays(sh, id_col).withColumn(
-            "t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        _doc_arrays(sh, id_col)
+        .withColumn("t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
+        .withColumn(
+            "ts", F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
         )
     )
     return (
@@ -382,12 +409,16 @@ def jaccard_truth_pairs(
     c ≥ j_num(n_a+n_b)/(j_num+j_den) ≥ 2·j_num/(j_num+j_den)·min, and
     the rational per-doc bound is ≥ 1/13 away from any integer so plain
     float ceil cannot cross a boundary (slack kept anyway — it only
-    loosens)."""
+    loosens).  Symmetric index bound (r12): c ≤ min makes the union
+    n_a+n_b−c ≥ max, so j_den·c ≥ j_num·max ⇒ c ≥ j_num/j_den·max, and
+    ``ts`` = ceil(j_num/j_den·n) prunes the index-side combos."""
     sh = shingle_rows(docs, id_col, text_col, k)
     frac = 2.0 * j_num / (j_num + j_den)
     arr = checkpoint(
-        _doc_arrays(sh, id_col).withColumn(
-            "t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        _doc_arrays(sh, id_col)
+        .withColumn("t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
+        .withColumn(
+            "ts", F.ceil(F.lit(j_num / j_den) * F.col("n") - F.lit(_T_SLACK)).cast("int")
         )
     )
     return _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col).filter(
