@@ -251,3 +251,63 @@ def test_degenerate_inputs(spark, degenerate_dirs, name):
             assert df.schema is not None
     finally:
         signal.signal(signal.SIGALRM, prev)
+
+
+def test_ts03_multi_extreme_frame_oracle_parity(spark, tmp_path):
+    """ts03's cross-multiplied z-score must stay exact — and oracle-equal —
+    when a single 10-row frame is FULL of magnitude-extreme cents rows
+    (r12, closing the r11 ADVICE item).  The maxvals layout plants one
+    extreme row per table, so every frame held at most one ~1e18-scale
+    product; here one user gets 12 rows alternating ±2.5e17 cents (the
+    documented |cents| bound, value = ±$2.5e15), driving every
+    intermediate to its ceiling: |dev| ≤ 5e18, dev² ≤ 2.5e37,
+    4·n·Q ≤ 2.5e37 — representable in DECIMAL(38,0)/HUGEINT but far past
+    BIGINT, so the pre-r12 form (n*cents and dev*dev in BIGINT) crashes
+    under ANSI on exactly this shape."""
+    import datetime
+
+    d = tmp_path / "extreme_frames"
+    d.mkdir()
+    for name in TABLES:
+        src = pq.read_table(SRC / f"{name}.parquet")
+        if name != "events":
+            pq.write_table(src.slice(0, 1), str(d / f"{name}.parquet"))
+            continue
+        schema = src.schema
+        n_rows = 12
+        bound = 2.5e15  # dollars; floor(value*100) = ±2.5e17 cents
+        rows = {
+            "event_id": list(range(n_rows)),
+            "ts": [datetime.datetime(2024, 1, 1, 0, i) for i in range(n_rows)],
+            "user_id": [7] * n_rows,
+            "event_type": ["error"] * n_rows,
+            # constant +bound with two -bound spikes: constant frames
+            # give dev = 0, var = 0 (not anomalous), while each spike is
+            # a >2σ outlier in its low-variance frame — both outcomes
+            # occur, and the spike frames drive |dev| to ~4.5e18 and the
+            # moment products to ~2e37 (BIGINT-impossible, decimal-safe)
+            "value": [(-bound if i in (5, 9) else bound) for i in range(n_rows)],
+            "props": ['{"k": 1}'] * n_rows,
+        }
+        pq.write_table(
+            pa.table({f.name: pa.array(rows[f.name], f.type) for f in schema}, schema=schema),
+            str(d / "events.parquet"),
+        )
+
+    import duckdb
+
+    from tests.oracle_util import assert_matches_oracle
+
+    sdf = entrymod.queries()["ts03_rolling_zscore"](spark, str(d))
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        assert_matches_oracle(sdf, con, entrymod.oracle_sql()["ts03_rolling_zscore"])
+    finally:
+        con.close()
+    # the layout must actually exercise both decisions on full frames
+    flags = {r["is_anomaly"] for r in sdf.collect() if r["n"] >= 5}
+    assert flags == {True, False}, flags

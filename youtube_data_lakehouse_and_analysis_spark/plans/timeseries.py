@@ -206,7 +206,8 @@ _ZS_WIN = 9  # current row + 9 preceding = 10-event rolling frame
                                 ROWS BETWEEN {_ZS_WIN} PRECEDING AND CURRENT ROW))
         SELECT user_id, event_id, cents, n,
                (n >= 5 AND
-                (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s))
+                (n * CAST(cents AS HUGEINT) - s) * (n * CAST(cents AS HUGEINT) - s)
+                  > 4 * (n * q - s * s))
                  AS is_anomaly
         FROM rolled""",
 )
@@ -233,11 +234,16 @@ def ts03_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-_ZS_WIN, 0)
     )
     c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
-    # moment sums in DECIMAL(19,0) operands / 38-digit products (twin:
-    # HUGEINT): BIGINT cents² overflows at magnitude extremes (maxvals
-    # layout, r10 — same widening as a09).  Documented bound: every
-    # intermediate fits 38 digits for |cents| ≤ ~2.5e17 per frame row
-    # (value ≤ $2.5e15), far past any real dollar domain.
+    # moment sums AND the decision polynomial in DECIMAL operands /
+    # 38-digit products (twin: HUGEINT): BIGINT cents² overflows at
+    # magnitude extremes (maxvals layout, r10 — same widening as a09),
+    # and so does the BIGINT product n*cents in dev once a frame holds
+    # several ~1e18-magnitude cents rows (r12, closing the r10/r11
+    # ADVICE item — ANSI mode turns that overflow into a crash).
+    # Documented bound: every intermediate fits 38 digits for |cents| ≤
+    # ~2.5e17 per frame row (value ≤ $2.5e15), far past any real dollar
+    # domain: |dev| ≤ n·|x|+|S| ≤ 5e18, dev² ≤ 2.5e37, 4·n·Q ≤ 2.5e37 —
+    # all under DECIMAL(38,0)'s ~1e38 and HUGEINT's ~1.7e38.
     centsd = F.col("cents").cast("decimal(19,0)")
     rolled = c.select(
         "user_id",
@@ -247,8 +253,9 @@ def ts03_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(centsd).over(w).alias("s"),
         F.sum(centsd * centsd).over(w).alias("q"),
     )
-    dev = F.col("n") * F.col("cents") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    nd = F.col("n").cast("decimal(2,0)")  # frame holds ≤ 10 rows
+    dev = nd * F.col("cents").cast("decimal(19,0)") - F.col("s")
+    var_n2 = nd * F.col("q") - F.col("s") * F.col("s")
     return rolled.select(
         "user_id",
         "event_id",
