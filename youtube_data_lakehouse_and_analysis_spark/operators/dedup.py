@@ -255,14 +255,18 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     longer than the index prefix.
 
     Combo emission is O(p²) per doc in its index-prefix length p, so p
-    is BOUNDED: docs whose index prefix exceeds _COMBO_MAX_PREFIX skip
-    the combo stage and route through the single-shingle inverted-index
-    path alongside the t ≤ 1 docs (joining their shingle rows against
-    the full corpus is lossless for ANY threshold — a qualifying pair
-    shares ≥ 1 shingle).  Without the bound, one pathological document
-    (the maxvals layout's 1 MB text = ~140k distinct shingles) emits
-    C(140k·(1−τ), 2) ≈ 10⁸⁻¹⁰ combos — the exact single-giant-row
-    hazard a 100 TB corpus will contain."""
+    is BOUNDED: docs whose index prefix exceeds _COMBO_MAX_PREFIX spill
+    to a SINGLE-shingle AllPairs leg instead — probe with the n − t + 1
+    rarest shingles, index with the n − ts + 1 rarest (or all, when no
+    symmetric bound exists), joined as 8-byte hashes.  Same rarest-
+    common-shingle argument with "2 smallest" relaxed to "1 smallest";
+    linear emission per doc, and the df-ranked prefixes shed the hot
+    boilerplate shingles whose df² would otherwise dominate the join.
+    Only t ≤ 1 docs — qualifiable on a single shared shingle — probe the
+    full corpus inverted index (lossless for ANY threshold).  Without
+    the cap, one pathological document (the maxvals layout's 1 MB text =
+    ~140k distinct shingles) emits C(140k·(1−τ), 2) ≈ 10⁸⁻¹⁰ combos —
+    the exact single-giant-row hazard a 100 TB corpus will contain."""
 
     def combo_hashes(upto):
         # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
@@ -293,7 +297,10 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     else:
         idx_upto = F.col("n")
     combo_ok = (F.col("t") >= 2) & (idx_upto <= _COMBO_MAX_PREFIX)
-    big, small = arr.filter(combo_ok), arr.filter(~combo_ok)
+    spill_ok = (F.col("t") >= 2) & (idx_upto > _COMBO_MAX_PREFIX)
+    big = arr.filter(combo_ok)
+    spill = arr.filter(spill_ok)
+    small = arr.filter(F.col("t") <= 1)
     probe = big.select(
         F.col(id_col).alias("doc_p"),
         F.explode(combo_hashes(F.col("n") - F.col("t") + 2)).alias("combo"),
@@ -318,6 +325,8 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             F.greatest("doc_p", "doc_i").alias("doc_b"),
         )
     )
+    # tiny leg: t ≤ 1 docs can qualify on a SINGLE shared shingle, so
+    # their probes must see the entire corpus — full inverted-index join.
     small_sh = small.select(F.col(id_col).alias("doc_s"), F.explode("shingles").alias("shingle"))
     small_cand = (
         small_sh.join(sh.select(F.col(id_col).alias("doc_o"), "shingle"), "shingle")
@@ -327,7 +336,65 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             F.greatest("doc_s", "doc_o").alias("doc_b"),
         )
     )
-    return combo_cand.unionByName(small_cand).distinct()
+    # spill legs (r12): t ≥ 2 docs whose index prefix overflows the combo
+    # cap.  Their pairs need overlap ≥ 2, so the SINGLE-shingle AllPairs
+    # prefix applies: the pair's globally-rarest common shingle s₁ has
+    # only non-shared shingles before it in either member, i.e. position
+    # ≤ n − c + 1 ≤ n − t + 1 (probe role, valid when the probing doc is
+    # the pair's min side — both members probe, so one leg always is) /
+    # n − ts + 1 (index role, any side).  Probing with all n shingles
+    # instead — the pre-r12 fallback — is Σ_s df(s)² in the hot tail:
+    # one boilerplate shingle shared by 10% of a Zipfian corpus makes
+    # that leg quadratic in the corpus, and df-ranked prefixes shed
+    # exactly those hot shingles first.  TWO joins cover every pair with
+    # ≥ 1 spill member without re-deriving combo×combo: S1 = spill docs
+    # probe vs ALL t ≥ 2 docs indexed (covers min-side-spill pairs); S2 =
+    # combo docs probe vs spill docs indexed (covers min-side-combo,
+    # max-side-spill pairs).  Shingles are hashed to 8-byte keys like the
+    # combo leg (collisions only add candidates); on corpora where no doc
+    # overflows the cap both legs are empty scans.
+    big2 = arr.filter(F.col("t") >= 2)
+    if "ts" in arr.columns:
+        idx1_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 1)
+    else:
+        idx1_upto = F.col("n")
+
+    def single_probe(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias("doc_p"),
+            F.explode(
+                F.transform(
+                    F.slice("shingles", 1, F.col("n") - F.col("t") + 1),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh1"),
+        )
+
+    def single_index(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias("doc_i"),
+            F.explode(
+                F.transform(F.slice("shingles", 1, idx1_upto), lambda s: F.xxhash64(s))
+            ).alias("sh1"),
+        )
+
+    def pair_up(probe_df: DataFrame, index_df: DataFrame) -> DataFrame:
+        # same post-explode size-misestimate hazard as the combo join:
+        # force sort-merge, never broadcast an O(docs × shingles) side
+        return (
+            probe_df.hint("merge")
+            .join(index_df, "sh1")
+            .filter(F.col("doc_p") != F.col("doc_i"))
+            .select(
+                F.least("doc_p", "doc_i").alias("doc_a"),
+                F.greatest("doc_p", "doc_i").alias("doc_b"),
+            )
+        )
+
+    spill_cand = pair_up(single_probe(spill), single_index(big2)).unionByName(
+        pair_up(single_probe(big), single_index(spill))
+    )
+    return combo_cand.unionByName(small_cand).unionByName(spill_cand).distinct()
 
 
 def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
