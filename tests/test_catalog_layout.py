@@ -159,3 +159,50 @@ def test_events_key_uniqueness(sf):
         "GROUP BY 1, 2 HAVING count(*) > 1)"
     ).fetchone()[0]
     assert dupes == 0, f"{dupes} colliding (event_id, ts) keys in {sf}"
+
+
+def test_compaction_cache_fault_injection(spark, tmp_path):
+    """A damaged compaction cache must NEVER yield a silently short
+    result (r12, r11 verdict ask #6).  ``_SUCCESS`` survives post-build
+    damage — a part file deleted or truncated by disk pressure, a
+    half-synced volume — and a bare parquet read over the survivors
+    returns fewer rows with no error.  load() validates every cache hit
+    against the build-time manifest (file set + byte sizes + row count)
+    and rebuilds from source on any mismatch, so the observable contract
+    is: full, correct rows after every kind of damage."""
+    import glob
+    import shutil as sh
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import _repo_root
+
+    src_dir = tmp_path / "sf_fault"
+    src_dir.mkdir()
+    sh.copy("/root/testdata/sf0.01/lineitem.parquet", src_dir / "lineitem.parquet")
+
+    opt = os.path.join(_repo_root(), "spark-warehouse", "optimized")
+    before = set(glob.glob(os.path.join(opt, "lineitem-*")))
+    expected = load(spark, str(src_dir), "lineitem").count()
+    new_dirs = set(glob.glob(os.path.join(opt, "lineitem-*"))) - before
+    assert len(new_dirs) == 1, "compaction cache dir not created (need >=2 chunks)"
+    dest = new_dirs.pop()
+    parts = sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet") and os.path.getsize(os.path.join(dest, f))
+    )
+    assert len(parts) >= 2 and os.path.exists(os.path.join(dest, "_SUCCESS"))
+
+    # damage 1: delete one part file, _SUCCESS intact → naive read would
+    # be silently short; load() must still return every row
+    os.remove(os.path.join(dest, parts[0]))
+    assert load(spark, str(src_dir), "lineitem").count() == expected
+
+    # the rebuild restored a validated cache in place
+    rebuilt = set(glob.glob(os.path.join(opt, "lineitem-*"))) - before
+    assert rebuilt == {dest}
+    parts = sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+
+    # damage 2: truncate one part file under an intact _SUCCESS
+    p = os.path.join(dest, parts[0])
+    blob = open(p, "rb").read()
+    with open(p, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    assert load(spark, str(src_dir), "lineitem").count() == expected
