@@ -1,0 +1,131 @@
+"""Synthesize the `longdocs` fixture tiers for the text-surface scaling
+audit (r11 verdict ask #3).
+
+The driver's shipped ``documents`` tables are an unrealistically friendly
+regime for the shingle-fed operators: ~31-word vocabulary, uniform
+10..100-token lengths, ~300 B median text.  Every doc sits far below the
+combo cap, document frequencies are saturated, and the measured scaling
+constants say little about the regime the operators actually target —
+web-scale corpora where the median document is kilobytes long, the
+vocabulary is Zipfian, and a handful of boilerplate shingles appear in a
+visible fraction of all documents.
+
+This tool manufactures that regime, deterministically:
+
+* **Lengths** — log-normal, ``tokens ~ exp(N(ln 300, 0.8))`` clipped to
+  [10, 8000]: median ~300 tokens ≈ 2 kB of text, with a heavy tail of
+  multi-kB documents (median distinct 3-shingles ≈ 300 ≫ the 256 combo
+  cap, so the r12 spill legs — not just the combo path — carry the load).
+* **Vocabulary** — 50 000 words drawn Zipf(s=1.05): the top word lands in
+  ~8% of token positions, so hot TRIGRAMS (top-word runs) naturally occur
+  in ~10% of documents — the boilerplate-shingle hazard a real corpus
+  contains, with no hand-planting needed.
+* **Duplication** — prefix-stable plants so every tier has the same dup
+  density: doc i is a near-dup of doc i-20 (5% of token positions
+  resampled) when ``i % 50 == 25``, and an exact dup of doc i-30 when
+  ``i % 100 == 99``.
+* **Tiers** — x1/x2/x4/x8 = 1k/2k/4k/8k docs, NESTED (tier k is a prefix
+  of the single 8k-doc generation), so exponents measure pure corpus
+  growth of one distribution, not sampling drift.  Only
+  ``documents.parquet`` is written per tier: every audited operator
+  loads only that table.
+
+Schema matches the shipped table exactly (doc_id/text/lang/source/
+n_chars with the shipped lang split and 20 uniform sources).
+Deterministic (numpy default_rng(1207)); writes to
+``<repo>/.localdata/longdocs/x{1,2,4,8}`` (gitignored — data, not
+source).  Import ``ensure_longdocs()`` to build-if-missing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_OUT = os.path.join(_ROOT, ".localdata", "longdocs")
+
+SEED = 1207
+TIERS = (1, 2, 4, 8)
+_BASE_DOCS = 1000
+_VOCAB = 50_000
+_ZIPF_S = 1.05
+_MED_TOKENS = 300
+_SIGMA = 0.8
+_MIN_TOKENS, _MAX_TOKENS = 10, 8000
+_NEAR_DUP_MUTATE = 0.05
+_LANGS = ["en", "zh", "es", "fr", "de"]
+_LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+_N_SOURCES = 20
+
+
+def _zipf_cdf() -> np.ndarray:
+    w = 1.0 / np.arange(1, _VOCAB + 1) ** _ZIPF_S
+    return np.cumsum(w / w.sum())
+
+
+def _generate(n_docs: int) -> pa.Table:
+    rng = np.random.default_rng(SEED)
+    cdf = _zipf_cdf()
+    words = np.array([f"tok{i}" for i in range(_VOCAB)])
+
+    lens = np.clip(
+        np.exp(rng.normal(np.log(_MED_TOKENS), _SIGMA, n_docs)).astype(int),
+        _MIN_TOKENS,
+        _MAX_TOKENS,
+    )
+    token_ids: list[np.ndarray] = []
+    for i in range(n_docs):
+        if i % 100 == 99 and i >= 30:
+            token_ids.append(token_ids[i - 30])  # exact dup
+            continue
+        if i % 50 == 25 and i >= 20:
+            base = token_ids[i - 20].copy()
+            flips = rng.random(base.size) < _NEAR_DUP_MUTATE
+            base[flips] = np.searchsorted(cdf, rng.random(int(flips.sum())))
+            token_ids.append(base)
+            continue
+        token_ids.append(np.searchsorted(cdf, rng.random(lens[i])))
+
+    texts = [" ".join(words[t]) for t in token_ids]
+    langs = rng.choice(_LANGS, n_docs, p=_LANG_P)
+    sources = np.array([f"src{i}" for i in rng.integers(0, _N_SOURCES, n_docs)])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+        }
+    )
+
+
+def ensure_longdocs(out_root: str = DEFAULT_OUT) -> list[tuple[str, float]]:
+    """Build-if-missing; returns [(tier_dir, scale), ...] smallest first."""
+    tiers = []
+    missing = []
+    for k in TIERS:
+        d = os.path.join(out_root, f"x{k}")
+        tiers.append((d, float(k)))
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            missing.append((d, k))
+    if missing:
+        full = _generate(_BASE_DOCS * TIERS[-1])
+        for d, k in missing:
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(full.slice(0, _BASE_DOCS * k), os.path.join(d, "documents.parquet"))
+    return tiers
+
+
+if __name__ == "__main__":
+    for d, k in ensure_longdocs():
+        t = pq.read_table(os.path.join(d, "documents.parquet"))
+        sizes = [len(x) for x in t.column("text").to_pylist()]
+        print(
+            f"x{int(k)}: {t.num_rows} docs, median {int(np.median(sizes))} B, "
+            f"mean {int(np.mean(sizes))} B, max {max(sizes)} B"
+        )

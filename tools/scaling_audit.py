@@ -19,7 +19,16 @@ overhead flattens the small end, and several operators carry bounded legs
 (sampled truth sets, capped buckets) that do not grow with the corpus.
 
 Usage: python tools/scaling_audit.py [--json] [--no-sf1] [query ...]
+       python tools/scaling_audit.py --longdocs [--json] [query ...]
 Exit 0 = every audited operator inside its bound.
+
+``--longdocs`` (r12) audits the SHINGLE-FED operators on the longdocs
+tiers (tools/make_longdocs.py: log-normal ~2 kB docs, Zipfian 50k-word
+vocabulary, x1/x2/x4/x8 = 1k..8k docs) instead of the sf tiers.  The sf
+documents tables are a friendly regime — 31-word vocab, every doc under
+the combo cap; longdocs is the regime these operators target, where the
+median doc overflows the cap (exercising the r12 spill legs) and hot
+boilerplate shingles appear in ~10% of docs.
 """
 
 from __future__ import annotations
@@ -82,22 +91,61 @@ AUDITED = {
     ),
 }
 
+# longdocs-tier audit set: the operators whose cost is driven by text
+# volume and shingle statistics, measured where docs are long and the
+# vocabulary is Zipfian.  Output (qualifying pairs) grows linearly by
+# construction (prefix-stable dup plants), so a super-linear exponent
+# here is candidate-generation waste, not workload growth.
+LONGDOCS_AUDITED = {
+    "dd04_jaccard_pairs": (
+        1.5,
+        "prefix-filtered candidates (combo + r12 single-shingle spill legs)",
+    ),
+    "dd18_containment_pairs": (
+        1.5,
+        "same machinery, asymmetric bound: full index on the spill legs",
+    ),
+    "dd03_lsh_candidate_pairs": (
+        1.5,
+        "band-bucket join with star-pairing cap on hot buckets",
+    ),
+    "dd20_char_window_dup_mass": (
+        1.3,
+        "stride-windowed single pass, no self-join: linear in chars",
+    ),
+    "ta04_fingerprint": (
+        1.3,
+        "rolling-hash winnowing over bound char arrays: linear in chars",
+    ),
+    "ta08_char_chunks": (
+        1.3,
+        "map-side sequence+posexplode+substring: linear in chars",
+    ),
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     emit_json = "--json" in sys.argv
-    names = args or list(AUDITED)
-    unknown = [n for n in names if n not in AUDITED]
+    longdocs = "--longdocs" in sys.argv
+    audited = LONGDOCS_AUDITED if longdocs else AUDITED
+    names = args or list(audited)
+    unknown = [n for n in names if n not in audited]
     if unknown:
         print(f"unknown query name(s): {', '.join(unknown)}", file=sys.stderr)
-        print(f"audited set: {', '.join(sorted(AUDITED))}", file=sys.stderr)
+        print(f"audited set: {', '.join(sorted(audited))}", file=sys.stderr)
         sys.exit(2)
 
-    sf_dirs = list(SF_DIRS)
-    if "--no-sf1" not in sys.argv:
-        from tools.make_sf1 import ensure_sf1
+    if longdocs:
+        from tools.make_longdocs import ensure_longdocs
 
-        sf_dirs.append((ensure_sf1(), 1.0))
+        sf_dirs = ensure_longdocs()
+    else:
+        sf_dirs = list(SF_DIRS)
+        if "--no-sf1" not in sys.argv:
+            from tools.make_sf1 import ensure_sf1
+
+            sf_dirs.append((ensure_sf1(), 1.0))
 
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
@@ -109,7 +157,7 @@ def main() -> int:
     results = {}
     failures = []
     for name in names:
-        bound, why = AUDITED[name]
+        bound, why = audited[name]
         times = []
         for sf_dir, sf in sf_dirs:
             best = math.inf
