@@ -35,7 +35,25 @@ where the hot key holds ~1.8M rows and a serialized straggler is
 measurable); ``--tier sf0.1`` audits the shipped tier instead.
 
 Usage: python tools/skew_audit.py [--json] [--tier sf1|sf0.1] [query ...]
+       python tools/skew_audit.py --text [--json] [query ...]
 Exit 0 = every audited query within MULTIPLE x of its uniform time.
+
+``--text`` (r12, r11 verdict ask #4) gates the TEXT-SURFACE skew the
+join audit cannot see: hot shingles, not hot join keys.  Base layout is
+the longdocs x4 tier (tools/make_longdocs.py); two planted twins:
+
+  * ``hotshingle`` — 30% of the ≥60-token docs get the SAME 8-token
+    boilerplate footer: one shingle family lands in ~30% of documents
+    (the web-footer shape).  The footer is far below both pair
+    thresholds (J ≈ 0.01 < 0.02, containment ≤ 0.1 < 0.3), so the TRUE
+    output is unchanged — any slowdown in dd04/dd18/dd21/dd03 is pure
+    candidate-generation waste on the hot shingle, which the df-ranked
+    prefixes are supposed to shed.
+  * ``hotband`` — 30% of docs become one 60-token boilerplate plus a
+    3-token unique tail: ~92% of their minhash seeds draw from the
+    boilerplate, so whole LSH bands collide and every band gets a
+    ~900-doc hot bucket — the star-pairing cap's worst case, gated on
+    dd03 (pair emission must stay linear in bucket width, not W²/2).
 """
 
 from __future__ import annotations
@@ -73,6 +91,18 @@ AUDITED = [
     "q05_groupwise_max_window",
     "ses01_gap_sessions",
 ]
+
+# --text mode: query -> planted layout it is gated on
+TEXT_AUDITED = {
+    "dd04_jaccard_pairs": "hotshingle",
+    "dd18_containment_pairs": "hotshingle",
+    "dd21_lsh_band_eval": "hotshingle",
+    "dd03_lsh_candidate_pairs": "hotband",
+}
+
+_FOOTER = " ".join(f"footer{i}" for i in range(8))
+_BOILER = " ".join(f"boiler{i}" for i in range(60))
+_MIN_FOOTER_TOKENS = 60  # only long docs get the footer (keeps output flat)
 
 _LOCALDATA = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata"
@@ -113,9 +143,118 @@ def build_skew(base_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_text_variant(base_dir: str, out_dir: str, kind: str) -> str:
+    """Materialize a hot-shingle / hot-band twin of a longdocs tier
+    (documents.parquet only; idempotent)."""
+    if os.path.exists(f"{out_dir}/documents.parquet"):
+        return out_dir
+    tmp = out_dir + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    rng = np.random.default_rng(SEED)
+    tbl = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    texts = tbl.column("text").to_pylist()
+    planted = rng.random(len(texts)) < HOT_FRAC
+    for i, hit in enumerate(planted):
+        if not hit:
+            continue
+        if kind == "hotshingle":
+            if texts[i].count(" ") + 1 >= _MIN_FOOTER_TOKENS:
+                texts[i] = texts[i] + " " + _FOOTER
+        else:  # hotband
+            texts[i] = f"{_BOILER} uniqa{i} uniqb{i} uniqc{i}"
+    out = tbl.set_column(
+        tbl.schema.get_field_index("text"), tbl.schema.field("text"), pa.array(texts, pa.string())
+    )
+    out = out.set_column(
+        out.schema.get_field_index("n_chars"),
+        out.schema.field("n_chars"),
+        pa.array([len(t) for t in texts], pa.int64()),
+    )
+    pq.write_table(out, f"{tmp}/documents.parquet")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def _main_text(argv: list[str], emit_json: bool) -> int:
+    names = argv or list(TEXT_AUDITED)
+    unknown = [n for n in names if n not in TEXT_AUDITED]
+    if unknown:
+        print(f"unknown query name(s): {', '.join(unknown)}", file=sys.stderr)
+        print(f"audited set: {', '.join(TEXT_AUDITED)}", file=sys.stderr)
+        return 2
+
+    from tools.make_longdocs import ensure_longdocs
+
+    tiers = dict((f"x{int(s)}", d) for d, s in ensure_longdocs())
+    base_dir = tiers["x4"]
+    variants = {
+        kind: build_text_variant(base_dir, os.path.join(_LOCALDATA, f"{kind}_x4"), kind)
+        for kind in sorted(set(TEXT_AUDITED.values()))
+    }
+
+    os.environ["SPARK_GRAFT_NO_COMPACT"] = "1"
+
+    from youtube_data_lakehouse_and_analysis_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("skew-audit-text")
+    queries = entrymod.queries()
+
+    results = {}
+    failures = []
+    for name in names:
+        kind = TEXT_AUDITED[name]
+        per_layout = {}
+        for label, d in (("uniform", base_dir), (kind, variants[kind])):
+            queries[name](spark, d).collect()  # warmup
+            best = math.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                queries[name](spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            per_layout[label] = best
+        ratio = per_layout[kind] / per_layout["uniform"]
+        ok = ratio <= MULTIPLE
+        results[name] = {
+            "tier": "longdocs_x4",
+            "variant": kind,
+            "uniform_sec": round(per_layout["uniform"], 4),
+            "skewed_sec": round(per_layout[kind], 4),
+            "ratio": round(ratio, 3),
+            "gate": MULTIPLE,
+            "ok": ok,
+        }
+        if not ok:
+            failures.append(name)
+        flag = "ok  " if ok else "FAIL"
+        print(
+            f"{flag} {name:28s} uniform={per_layout['uniform']:6.2f}s "
+            f"{kind}={per_layout[kind]:6.2f}s  ratio={ratio:5.2f} "
+            f"(gate {MULTIPLE}x)",
+            file=sys.stderr,
+        )
+
+    if emit_json:
+        print(json.dumps(results, indent=2))
+    if failures:
+        print(f"TEXT-SKEW BLOW-UPS: {failures}", file=sys.stderr)
+        return 1
+    print(
+        f"{len(results)} queries absorb the 30% hot shingle/band within {MULTIPLE}x",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main() -> int:
     emit_json = "--json" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--json"]
+    if "--text" in argv:
+        argv.remove("--text")
+        return _main_text(argv, emit_json)
     tier = "sf1"
     if "--tier" in argv:
         i = argv.index("--tier")
