@@ -712,3 +712,26 @@ def test_sim14_single_pass_no_joins(spark):
     plan = plan_of(spark, "sim14_index_balance")
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop"):
         assert j not in plan
+
+
+def test_dedup_candidate_joins_stay_sort_merge(spark):
+    """dd04/dd18 candidate generation: every join keyed on an EXPLODED
+    combo/single-shingle hash must be sort-merge (r12 — pins the merge
+    hints on the combo leg and both spill legs).  Catalyst size-estimates
+    the post-explode sides from the tiny pre-explode array table, so left
+    alone it broadcasts a side that is actually O(docs × combos) — the
+    measured sf1 OOM that introduced the hints.  The checkpointed arr /
+    raw shingle sides keep scan-derived estimates that scale with the
+    input, so the verify and t≤1 inverted-index joins may stay broadcast
+    at test scale and adapt on their own; only the double-exploded legs
+    need pinning."""
+    import re
+
+    for name in ("dd04_jaccard_pairs", "dd18_containment_pairs"):
+        plan = plan_of(spark, name)
+        assert not re.search(r"BroadcastHashJoin \[(combo|sh1)#", plan), name
+        assert not re.search(r"ShuffledHashJoin \[(combo|sh1)#", plan), name
+        assert len(re.findall(r"SortMergeJoin \[combo#", plan)) == 1, name
+        # two spill legs: spill-probe vs all-t≥2 index, combo-probe vs
+        # spill index
+        assert len(re.findall(r"SortMergeJoin \[sh1#", plan)) == 2, name
