@@ -24,17 +24,18 @@ This tool manufactures that regime, deterministically:
   density: doc i is a near-dup of doc i-20 (5% of token positions
   resampled) when ``i % 50 == 25``, and an exact dup of doc i-30 when
   ``i % 100 == 99``.
-* **Tiers** — x1/x2/x4/x8 = 1k/2k/4k/8k docs, NESTED (tier k is a prefix
-  of the single 8k-doc generation), so exponents measure pure corpus
-  growth of one distribution, not sampling drift.  Only
-  ``documents.parquet`` is written per tier: every audited operator
-  loads only that table.
+* **Tiers** — x1/x2/x4/x8/x16 = 1k..16k docs, NESTED: doc i draws from
+  its OWN ``default_rng(SEED·1000003 + i)`` (r12), so tier k is a
+  byte-identical prefix of every larger tier and adding tiers never
+  regenerates existing docs.  Exponents measure pure corpus growth of
+  one distribution, not sampling drift.  Only ``documents.parquet`` is
+  written per tier: every audited operator loads only that table.
 
 Schema matches the shipped table exactly (doc_id/text/lang/source/
 n_chars with the shipped lang split and 20 uniform sources).
-Deterministic (numpy default_rng(1207)); writes to
-``<repo>/.localdata/longdocs/x{1,2,4,8}`` (gitignored — data, not
-source).  Import ``ensure_longdocs()`` to build-if-missing.
+Deterministic; writes to ``<repo>/.localdata/longdocs/x{1,2,4,8,16}``
+(gitignored — data, not source).  Import ``ensure_longdocs()`` to
+build-if-missing.
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_OUT = os.path.join(_ROOT, ".localdata", "longdocs")
 
 SEED = 1207
-TIERS = (1, 2, 4, 8)
+TIERS = (1, 2, 4, 8, 16)
 _BASE_DOCS = 1000
 _VOCAB = 50_000
 _ZIPF_S = 1.05
@@ -68,17 +69,22 @@ def _zipf_cdf() -> np.ndarray:
 
 
 def _generate(n_docs: int) -> pa.Table:
-    rng = np.random.default_rng(SEED)
+    # Per-doc seeding (r12): doc i's randomness comes from its OWN
+    # generator, so doc i is byte-identical no matter how many docs the
+    # run generates — tier nesting survives ANY future TIERS extension.
+    # (The first form drew the length vector for all n_docs before the
+    # doc loop, so extending the generation shifted the shared stream
+    # and silently regenerated every doc.)
     cdf = _zipf_cdf()
     words = np.array([f"tok{i}" for i in range(_VOCAB)])
 
-    lens = np.clip(
-        np.exp(rng.normal(np.log(_MED_TOKENS), _SIGMA, n_docs)).astype(int),
-        _MIN_TOKENS,
-        _MAX_TOKENS,
-    )
     token_ids: list[np.ndarray] = []
+    lang_list: list[str] = []
+    src_list: list[str] = []
     for i in range(n_docs):
+        rng = np.random.default_rng(SEED * 1_000_003 + i)
+        lang_list.append(_LANGS[int(rng.choice(len(_LANGS), p=_LANG_P))])
+        src_list.append(f"src{int(rng.integers(0, _N_SOURCES))}")
         if i % 100 == 99 and i >= 30:
             token_ids.append(token_ids[i - 30])  # exact dup
             continue
@@ -88,11 +94,16 @@ def _generate(n_docs: int) -> pa.Table:
             base[flips] = np.searchsorted(cdf, rng.random(int(flips.sum())))
             token_ids.append(base)
             continue
-        token_ids.append(np.searchsorted(cdf, rng.random(lens[i])))
+        length = int(
+            np.clip(
+                np.exp(rng.normal(np.log(_MED_TOKENS), _SIGMA)), _MIN_TOKENS, _MAX_TOKENS
+            )
+        )
+        token_ids.append(np.searchsorted(cdf, rng.random(length)))
 
     texts = [" ".join(words[t]) for t in token_ids]
-    langs = rng.choice(_LANGS, n_docs, p=_LANG_P)
-    sources = np.array([f"src{i}" for i in rng.integers(0, _N_SOURCES, n_docs)])
+    langs = np.array(lang_list)
+    sources = np.array(src_list)
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs), pa.int64()),
