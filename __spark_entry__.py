@@ -26,20 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 12 front-loads (a) the 4 queries whose SPARK PLAN
-# or SQL TWIN changed this round — the symmetric-prefix combo-emission
-# rewrite in the Jaccard/containment candidate stage (dd04/dd18/dd21) and
-# the ts03 decimal dev/var rewrite — then (b) the 44 stalest queries by
-# most-recent CORRECTNESS_r{N} row, computed mechanically from r01..r11:
+# in dict order.  Round 12 front-loads (a) dd22, NEW this round (strict-
+# threshold Jaccard discovery, added with the longdocs x16 scaling
+# finding), (b) the 4 queries whose SPARK PLAN or SQL TWIN changed this
+# round — the symmetric-prefix combo-emission rewrite in the Jaccard/
+# containment candidate stage (dd04/dd18/dd21) and the ts03 decimal
+# dev/var rewrite — then (c) the 44 stalest queries by most-recent
+# CORRECTNESS_r{N} row, computed mechanically from r01..r11:
 # 8 last sampled at r4 (sim02, ta05, w02-w05, w07, w08) and 36 at r5
 # (f01, the j01-j16 family, st02/st03, ts01/ts02, mm01, p01/p03, pd02,
 # po01, q12, rc01, sim03/sim05/sim06, sm02/sm03, ta07, w10, a10, dd09,
-# evj01), then (c) 2 r6 rows to fill the 50.  After this round no
-# sampled query's driver evidence is older than r6.  Queries outside the
-# sample are covered by the local strict sweep (tools/verify_local.py)
-# and queue for the r13 rotation.
+# evj01), then (d) 1 r6 row to fill the 50.  After this round no sampled
+# query's driver evidence is older than r6.  Queries outside the sample
+# are covered by the local strict sweep (tools/verify_local.py) and
+# queue for the r13 rotation.
 _SAMPLE_PRIORITY = [
-    # --- plan or twin changed in r12 (4) ---
+    # --- new in r12 (1) + plan or twin changed in r12 (4) ---
+    "dd22_jaccard_pairs_strict",
     "dd04_jaccard_pairs", "dd18_containment_pairs", "dd21_lsh_band_eval",
     "ts03_rolling_zscore",
     # --- stalest driver rows: last sampled r4 (8) ---
@@ -60,8 +63,8 @@ _SAMPLE_PRIORITY = [
     "sim06_kmeans_step", "sm02_stratified_sample", "sm03_split_assignment",
     "st02_sliding_counts", "st03_session_windows", "ta07_quality_filters",
     "ts01_hourly_gap_fill", "ts02_daily_ohlc", "w10_time_range_frame",
-    # --- last sampled r6 (2, next-stalest after the above) ---
-    "a14_median_abs_deviation", "dd12_lsh_capped_pairs",
+    # --- last sampled r6 (1, next-stalest after the above) ---
+    "a14_median_abs_deviation",
 ]
 
 

@@ -100,6 +100,8 @@ EXTENDED = [
     "dq04_column_profile",
     "sim14_index_balance",
     "ta19a_lm_gate_histogram",
+    # r12: strict-threshold Jaccard discovery (the longdocs-gated regime)
+    "dd22_jaccard_pairs_strict",
 ]
 
 

@@ -98,8 +98,16 @@ AUDITED = {
 # here is candidate-generation waste, not workload growth.
 LONGDOCS_AUDITED = {
     "dd04_jaccard_pairs": (
+        2.2,
+        "tau=0.02 verification shape: prefixes keep ~98% of shingles, so "
+        "candidates are lower-bounded by sum(df^2) — quadratic for ANY "
+        "lossless method at this looseness (measured 1.94 at x16, r12); "
+        "the gate pins the constant and catches worse-than-quadratic",
+    ),
+    "dd22_jaccard_pairs_strict": (
         1.5,
-        "prefix-filtered candidates (combo + r12 single-shingle spill legs)",
+        "tau=0.5 discovery: probe prefix n/3, index prefix n/2 — the "
+        "regime the prefix filter is designed for must stay near-linear",
     ),
     "dd18_containment_pairs": (
         1.5,

@@ -202,6 +202,36 @@ def dd04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd22_jaccard_pairs_strict",
+    f"""WITH {_SHING_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""",
+)
+def dd22_jaccard_pairs_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 — near-dup DISCOVERY at the threshold
+    the prefix-filtered machinery is designed for (r12).  Same operator
+    as dd04, different regime: at τ = 0.5 the probe prefix keeps n/3 + 2
+    shingles and the symmetric index prefix n/2 + 2, so candidate volume
+    tracks the true near-dup density instead of Σ df(s)² — measured
+    near-linear on the longdocs tiers (tools/scaling_audit.py
+    --longdocs), where dd04's τ = 0.02 verification shape is measurably
+    quadratic (exponent ≈ 1.9 at the x16 doubling, its documented
+    anti-pattern).  This is the pair the audit gates: loose-τ verify may
+    be quadratic on a bounded candidate set; discovery-τ must scale."""
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
     "dd05_simhash",
     f"""WITH {_TOKS_CTE},
         tok AS (SELECT doc_id, unnest(toks) AS tok FROM norm),
