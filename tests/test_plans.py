@@ -727,7 +727,11 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
     need pinning."""
     import re
 
-    for name in ("dd04_jaccard_pairs", "dd18_containment_pairs"):
+    for name in (
+        "dd04_jaccard_pairs",
+        "dd18_containment_pairs",
+        "dd22_jaccard_pairs_strict",
+    ):
         plan = plan_of(spark, name)
         assert not re.search(r"BroadcastHashJoin \[(combo|sh1)#", plan), name
         assert not re.search(r"ShuffledHashJoin \[(combo|sh1)#", plan), name
