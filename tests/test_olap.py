@@ -11,14 +11,30 @@ QUERIES = entrymod.queries()
 
 
 def test_approx_distinct_close_to_exact(spark):
-    approx = {
-        r["l_returnflag"]: r["n_parts_approx"]
-        for r in QUERIES["a03_approx_distinct"](spark, SF_DIR).collect()
-    }
+    """a03's driver-visible output is the ±5% accuracy CLAIM (r13: the raw
+    HLL estimate is engine-specific so it can't be hash-compared; the
+    boolean + exact count can).  This test checks the raw estimate too."""
+    import pyspark.sql.functions as F
+
+    from youtube_data_lakehouse_and_analysis_spark.catalog import load
+
+    rows = {r["l_returnflag"]: r for r in QUERIES["a03_approx_distinct"](spark, SF_DIR).collect()}
     exact = {
         r["l_returnflag"]: r["n_parts"] for r in QUERIES["a02_count_distinct"](spark, SF_DIR).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
+    for k, v in exact.items():
+        assert rows[k]["n_parts_exact"] == v
+        assert rows[k]["within_5pct"] is True
+
+    # raw-estimate accuracy, independent of the query's own boolean
+    approx = {
+        r["l_returnflag"]: r["a"]
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("a"))
+        .collect()
+    }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.05, f"{k}: approx {approx[k]} vs exact {v}"
 

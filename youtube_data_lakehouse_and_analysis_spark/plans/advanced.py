@@ -72,7 +72,7 @@ def f11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (l_quantity is integral and the
     quartile fractions are exact binary, so interpolation is engine-exact).
     The approx scale path is percentile_approx (see a03 for the
-    rows-only-estimate precedent)."""
+    bound-checked-estimate precedent)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

@@ -481,8 +481,8 @@ def _sk01_sql() -> str:
 def sk01_hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog built from first principles (Flajolet et al. 2007),
     bit-exact across engines — unlike a03's approx_count_distinct, whose
-    engine-specific sketch forces a rows-only gate, this one is fully
-    oracle-checked: per event type, 64 registers hold the max lowest-
+    engine-specific sketch can only be oracled via its accuracy bound,
+    this one is fully value-checked: per event type, 64 registers hold the max lowest-
     set-bit position of the 54-bit md5 suffix (rho via the x & -x lowbit
     isolate + bin-length — no logs), the harmonic denominator is the
     EXACT integer Σ 2^(R − M[j]), and the α·m²-scaled estimate is one
@@ -766,7 +766,7 @@ def sk03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact heavy hitters with the measured overcount, completing the
     sketch shelf: sk01 HLL (distinct), sk02 KMV (set algebra), sk03 CMS
     (frequencies) — all bit-exact across engines where a03's native
-    sketch cannot be.
+    sketch can only be bound-checked.
 
     Scale: the sketch is d·w = 1024 integer counters REGARDLESS of
     stream size, built by one combine-friendly count shuffle (counters

@@ -66,7 +66,8 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-over-sequence on mapInPandas output.  Oracled since r8 — the
     fake codec's n_frames arithmetic (1 + n_bytes % 24 for video) is
     deterministic, so the frame explosion is SQL-expressible like mm02's
-    dimensions; only a03's HLL estimate remains rows-only by design."""
+    dimensions.  Since r13 every catalog query has an oracle (a03's HLL
+    estimate is checked via its ±5% bound against the exact count)."""
     media = attach_payload(load(spark, sf_dir, "documents"))
     return sample_frames(decode_media(media), every_nth=4)
 

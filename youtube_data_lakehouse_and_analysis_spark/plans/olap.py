@@ -215,15 +215,44 @@ def a02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a03_approx_distinct")  # no oracle: HLL estimates are engine-specific
+@query(
+    "a03_approx_distinct",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS n_parts_exact,
+              TRUE AS within_5pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
 def a03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale form of a02.
-    Estimates are engine-specific, so the driver records a rows-only check;
-    test_olap.py asserts the estimate is within 5% of exact."""
+
+    The raw HLL estimate is engine-specific (Spark's HLL++ and DuckDB's HLL
+    hash differently), so the estimate itself cannot be hash-compared.  The
+    driver-visible contract is the estimate's documented ±5% accuracy bound,
+    checked against the EXACT distinct count the oracle computes
+    independently: ``within_5pct`` is Spark's HLL vs Spark's exact, the
+    oracle's TRUE is the claim, and ``n_parts_exact`` pins both engines to
+    the same ground truth.  Spark's HLL is deterministic for a given input
+    (hash-based, no RNG), so the boolean is stable across runs.
+    test_olap.py additionally asserts the raw estimate values.
+
+    Scale: one pass, two sketches per group (HLL registers + the exact
+    distinct expand); at 100 TB you'd drop the exact leg and ship only the
+    HLL — it exists here to make the accuracy contract checkable."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts_exact"))
+                <= F.lit(0.05) * F.col("n_parts_exact")
+            ).alias("within_5pct"),
+        )
     )
 
 
