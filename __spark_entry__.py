@@ -26,45 +26,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 12 front-loads (a) dd22, NEW this round (strict-
-# threshold Jaccard discovery, added with the longdocs x16 scaling
-# finding), (b) the 4 queries whose SPARK PLAN or SQL TWIN changed this
-# round — the symmetric-prefix combo-emission rewrite in the Jaccard/
-# containment candidate stage (dd04/dd18/dd21) and the ts03 decimal
-# dev/var rewrite — then (c) the 44 stalest queries by most-recent
-# CORRECTNESS_r{N} row, computed mechanically from r01..r11:
-# 8 last sampled at r4 (sim02, ta05, w02-w05, w07, w08) and 36 at r5
-# (f01, the j01-j16 family, st02/st03, ts01/ts02, mm01, p01/p03, pd02,
-# po01, q12, rc01, sim03/sim05/sim06, sm02/sm03, ta07, w10, a10, dd09,
-# evj01), then (d) 1 r6 row to fill the 50.  After this round no sampled
-# query's driver evidence is older than r6.  Queries outside the sample
-# are covered by the local strict sweep (tools/verify_local.py) and
-# queue for the r13 rotation.
+# in dict order.  Round 13 front-loads (a) a03, whose contract changed
+# this round — the HLL estimate is now oracled via its ±5% accuracy
+# bound against the exact distinct count, so its row can finally go
+# green instead of rows-only (it is also in the stale cohort below) —
+# then (b) the 41 queries whose latest driver row is r6 and (c) the 9
+# alphabetically-first of the 29 r7 rows, computed mechanically from
+# CORRECTNESS_r01..r12 (latest-round histogram before this rotation:
+# r6:41, r7:29, r8:46, r9:44, r11:46, r12:50).  After this round no
+# sampled query's driver evidence is older than r7, and one further
+# rotation (the 20 remaining r7 rows + the oldest r8 rows) reaches
+# full freshness.  Queries outside the sample are covered by the local
+# strict sweep (tools/verify_local.py) and queue for the r14 rotation.
 _SAMPLE_PRIORITY = [
-    # --- new in r12 (1) + plan or twin changed in r12 (4) ---
-    "dd22_jaccard_pairs_strict",
-    "dd04_jaccard_pairs", "dd18_containment_pairs", "dd21_lsh_band_eval",
-    "ts03_rolling_zscore",
-    # --- stalest driver rows: last sampled r4 (8) ---
-    "sim02_lsh_ann_topk", "ta05_bpe_token_count", "w02_running_sum",
-    "w03_lag_lead", "w04_rank_flavors", "w05_sliding_avg",
-    "w07_range_frame", "w08_ntile_buckets",
-    # --- last sampled r5 (36) ---
-    "a10_mode_per_user", "dd09_repeated_ngrams", "evj01_interval_join",
-    "f01_duration_parse", "j01_inner_join_agg", "j02_left_join_count",
-    "j03_semi_join", "j04_anti_join", "j06_cross_join",
-    "j08_full_outer_join", "j09_shipping_priority", "j10_not_in_subquery",
-    "j11_local_supplier_volume", "j12_large_volume_customer",
-    "j13_exists_subquery", "j14_small_qty_revenue", "j15_null_safe_join",
-    "j16_lateral_topn", "mm01_binary_meta", "p01_pivot",
-    "p03_pivot_multi_agg", "pd02_udtf_bigrams", "po01_mom_growth",
-    "q12_correlated_subquery", "rc01_recursive_date_spine",
-    "sim03_pairwise_label_stats", "sim05_hybrid_filtered_ann",
-    "sim06_kmeans_step", "sm02_stratified_sample", "sm03_split_assignment",
-    "st02_sliding_counts", "st03_session_windows", "ta07_quality_filters",
-    "ts01_hourly_gap_fill", "ts02_daily_ohlc", "w10_time_range_frame",
-    # --- last sampled r6 (1, next-stalest after the above) ---
-    "a14_median_abs_deviation",
+    # --- contract changed in r13 (bound-checked oracle) + stale r6 ---
+    "a03_approx_distinct",
+    # --- last sampled r6 (40 more) ---
+    "dd12_lsh_capped_pairs", "dd13_contamination_overlap",
+    "dd14_dedup_report", "dd15_cross_source_dup_matrix",
+    "dd17_bloom_decontaminate", "dd19_sorted_neighborhood",
+    "ev07_conversion_latency", "ev08_behavior_bitmask",
+    "ev09_path_trigrams", "ev11_activity_streaks",
+    "f02_timestamp_roundtrip", "f03_null_handling", "f04_string_funcs",
+    "f05_math", "f06_case_when", "f08_word_explode", "f09_date_arith",
+    "f15_array_set_ops", "f17_date_breadth", "fe02_label_centroids",
+    "gr01_pagerank", "h01_pricing_summary_full",
+    "h03_shipping_priority_topk", "h05_local_supplier_volume",
+    "ia02_incremental_join", "mm05_phash_groups",
+    "sim07_int8_quantized_topk", "sim08_random_projection_topk",
+    "sm05_per_source_cap", "sm06_temperature_mixing",
+    "sm07_quality_weighted_sampling", "st04_stream_dedup",
+    "st05_stream_static_enrich", "ta11_top_bigram_fraction",
+    "ta12_oov_rate", "ta13_packing_plan", "ta14_dup_ngram_mass",
+    "ta15_per_source_median_gate", "ta16_char_collision",
+    "w11_running_distinct",
+    # --- last sampled r7 (alphabetically first 9 of 29) ---
+    "as03_asof_forward", "d01_channel_names", "d02_channels_most_videos",
+    "d03_top10_viewed", "d05_most_liked_per_channel",
+    "d07_views_per_channel", "d08_channels_published_2022",
+    "d09_avg_duration_per_channel", "dq02_order_reconciliation",
 ]
 
 
