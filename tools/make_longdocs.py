@@ -24,16 +24,27 @@ This tool manufactures that regime, deterministically:
   density: doc i is a near-dup of doc i-20 (5% of token positions
   resampled) when ``i % 50 == 25``, and an exact dup of doc i-30 when
   ``i % 100 == 99``.
-* **Tiers** — x1/x2/x4/x8/x16 = 1k..16k docs, NESTED: doc i draws from
+* **Tiers** — x1..x32 = 1k..32k docs, NESTED: doc i draws from
   its OWN ``default_rng(SEED·1000003 + i)`` (r12), so tier k is a
   byte-identical prefix of every larger tier and adding tiers never
   regenerates existing docs.  Exponents measure pure corpus growth of
   one distribution, not sampling drift.  Only ``documents.parquet`` is
   written per tier: every audited operator loads only that table.
 
+* **Generation marker** (r13, ADVICE) — every tier directory carries a
+  ``_GENSCHEME`` file recording the seed-scheme version and the
+  distribution parameters.  ``ensure_longdocs`` regenerates ALL tiers
+  whenever any marker is absent or mismatched: a cached tier from an
+  older scheme sitting next to a newly generated larger tier would
+  silently break the tier-prefix invariant and corrupt every exponent
+  fit.  Adding NEW tiers does not bump the scheme (per-doc seeding
+  makes nesting hold across tier extensions by construction); changing
+  any distribution parameter or the seeding rule MUST bump
+  ``GEN_SCHEME_VERSION``.
+
 Schema matches the shipped table exactly (doc_id/text/lang/source/
 n_chars with the shipped lang split and 20 uniform sources).
-Deterministic; writes to ``<repo>/.localdata/longdocs/x{1,2,4,8,16}``
+Deterministic; writes to ``<repo>/.localdata/longdocs/x{1,2,...,32}``
 (gitignored — data, not source).  Import ``ensure_longdocs()`` to
 build-if-missing.
 """
@@ -50,7 +61,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_OUT = os.path.join(_ROOT, ".localdata", "longdocs")
 
 SEED = 1207
-TIERS = (1, 2, 4, 8, 16)
+TIERS = (1, 2, 4, 8, 16, 32)
 _BASE_DOCS = 1000
 _VOCAB = 50_000
 _ZIPF_S = 1.05
@@ -61,6 +72,17 @@ _NEAR_DUP_MUTATE = 0.05
 _LANGS = ["en", "zh", "es", "fr", "de"]
 _LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
 _N_SOURCES = 20
+
+# Bump on ANY change to the per-doc seeding rule or a distribution
+# parameter above — the marker string embeds both, so either kind of
+# change invalidates every cached tier (see module docstring).
+GEN_SCHEME_VERSION = "perdoc-v2"
+GEN_SCHEME = (
+    f"{GEN_SCHEME_VERSION}:seed={SEED},vocab={_VOCAB},zipf={_ZIPF_S},"
+    f"med={_MED_TOKENS},sigma={_SIGMA},clip={_MIN_TOKENS}-{_MAX_TOKENS},"
+    f"mut={_NEAR_DUP_MUTATE},base={_BASE_DOCS}"
+)
+_MARKER = "_GENSCHEME"
 
 
 def _zipf_cdf() -> np.ndarray:
@@ -115,20 +137,39 @@ def _generate(n_docs: int) -> pa.Table:
     )
 
 
+def _marker_ok(tier_dir: str) -> bool:
+    try:
+        with open(os.path.join(tier_dir, _MARKER)) as f:
+            return f.read().strip() == GEN_SCHEME
+    except OSError:
+        return False
+
+
 def ensure_longdocs(out_root: str = DEFAULT_OUT) -> list[tuple[str, float]]:
-    """Build-if-missing; returns [(tier_dir, scale), ...] smallest first."""
+    """Build-if-missing; returns [(tier_dir, scale), ...] smallest first.
+
+    A tier counts as present only when both its parquet AND its
+    ``_GENSCHEME`` marker match the current scheme; a stale marker on
+    ANY tier regenerates ALL tiers (prefix invariant, module doc)."""
     tiers = []
     missing = []
+    stale = False
     for k in TIERS:
         d = os.path.join(out_root, f"x{k}")
         tiers.append((d, float(k)))
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             missing.append((d, k))
+        elif not _marker_ok(d):
+            stale = True
+    if stale:
+        missing = [(d, int(s)) for d, s in tiers]
     if missing:
         full = _generate(_BASE_DOCS * TIERS[-1])
         for d, k in missing:
             os.makedirs(d, exist_ok=True)
             pq.write_table(full.slice(0, _BASE_DOCS * k), os.path.join(d, "documents.parquet"))
+            with open(os.path.join(d, _MARKER), "w") as f:
+                f.write(GEN_SCHEME + "\n")
     return tiers
 
 

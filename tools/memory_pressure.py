@@ -47,10 +47,15 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from bench import HEADLINE
-    from tools.scaling_audit import AUDITED
+    from tools.scaling_audit import AUDITED, LONGDOCS_AUDITED
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
-    names = only or (HEADLINE + [n for n in AUDITED if n not in HEADLINE])
+    # Default set = headline + BOTH audit families (r13, ADVICE): the
+    # longdocs-audited operators (dd04/dd22/ta04/ta08 beyond the sf set)
+    # all run fine at sf0.1, and dd22 is the flagship discovery operator —
+    # its heap profile must stay gated, not re-checked ad hoc.
+    gated = list(HEADLINE) + list(AUDITED) + list(LONGDOCS_AUDITED)
+    names = only or list(dict.fromkeys(gated))
     spark = get_spark("memory-pressure", cpus=CPUS)
     assert spark.conf.get("spark.driver.memory") == HEAP
 

@@ -46,7 +46,7 @@ the longdocs x4 tier (tools/make_longdocs.py); two planted twins:
     boilerplate footer: one shingle family lands in ~30% of documents
     (the web-footer shape).  The footer is far below both pair
     thresholds (J ≈ 0.01 < 0.02, containment ≤ 0.1 < 0.3), so the TRUE
-    output is unchanged — any slowdown in dd04/dd18/dd21/dd03 is pure
+    output is unchanged — any slowdown in dd04/dd18/dd21/dd22 is pure
     candidate-generation waste on the hot shingle, which the df-ranked
     prefixes are supposed to shed.
   * ``hotband`` — 30% of docs become one 60-token boilerplate plus a
@@ -92,11 +92,19 @@ AUDITED = [
     "ses01_gap_sessions",
 ]
 
-# --text mode: query -> planted layout it is gated on
+# --text mode: query -> planted layout it is gated on.  dd22 (r13) is
+# gated on hotshingle, NOT hotband: the hotband plant makes 30% of docs
+# mutual near-dups (J ≈ 0.91 ≥ its τ = 0.5), so a LOSSLESS pair operator
+# must emit the ~W²/2 true pairs there — wall-clock would measure
+# workload, not waste, and the 3× gate would be meaningless.  hotband
+# gates the CAPPED candidate generator (dd03); the lossless operators'
+# boilerplate hazard is the hotshingle leg, where the true output is
+# unchanged by construction.
 TEXT_AUDITED = {
     "dd04_jaccard_pairs": "hotshingle",
     "dd18_containment_pairs": "hotshingle",
     "dd21_lsh_band_eval": "hotshingle",
+    "dd22_jaccard_pairs_strict": "hotshingle",
     "dd03_lsh_candidate_pairs": "hotband",
 }
 
@@ -145,8 +153,25 @@ def build_skew(base_dir: str, out_dir: str) -> str:
 
 def build_text_variant(base_dir: str, out_dir: str, kind: str) -> str:
     """Materialize a hot-shingle / hot-band twin of a longdocs tier
-    (documents.parquet only; idempotent)."""
-    if os.path.exists(f"{out_dir}/documents.parquet"):
+    (documents.parquet only; idempotent).  The base tier's ``_GENSCHEME``
+    marker is copied into the variant and compared on reuse (r13): a
+    variant built from an older longdocs generation next to a freshly
+    regenerated base would silently time two different corpora."""
+    from tools.make_longdocs import _MARKER
+
+    def _read_marker(d: str) -> str | None:
+        try:
+            with open(os.path.join(d, _MARKER)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    base_marker = _read_marker(base_dir)
+    if (
+        os.path.exists(f"{out_dir}/documents.parquet")
+        and base_marker is not None
+        and _read_marker(out_dir) == base_marker
+    ):
         return out_dir
     tmp = out_dir + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -172,6 +197,9 @@ def build_text_variant(base_dir: str, out_dir: str, kind: str) -> str:
         pa.array([len(t) for t in texts], pa.int64()),
     )
     pq.write_table(out, f"{tmp}/documents.parquet")
+    if base_marker is not None:
+        with open(os.path.join(tmp, _MARKER), "w") as f:
+            f.write(base_marker)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return out_dir
