@@ -62,3 +62,45 @@ def test_build_skew_idempotent(tmp_path):
     out2 = build_skew(str(base), str(tmp_path / "skewed"))  # no rebuild
     assert out2 == out
     assert pq.read_table(pathlib.Path(out2) / "lineitem.parquet").equals(t1)
+
+
+def test_longdocs_genscheme_marker(tmp_path, monkeypatch):
+    """ensure_longdocs (r13): a tier is valid only when its _GENSCHEME
+    marker matches the current generation scheme.  A stale marker on ANY
+    tier regenerates ALL tiers (a cached older-scheme tier next to a
+    newer one breaks the tier-prefix invariant the exponent fits rest
+    on), while a merely-missing tier is filled in without touching the
+    others (per-doc seeding makes nesting hold across extensions)."""
+    import os
+
+    import tools.make_longdocs as m
+
+    monkeypatch.setattr(m, "TIERS", (1, 2))
+    monkeypatch.setattr(m, "_BASE_DOCS", 8)
+    out = tmp_path / "longdocs"
+    tiers = m.ensure_longdocs(str(out))
+    assert [t for _, t in tiers] == [1.0, 2.0]
+    x1, x2 = (pathlib.Path(d) for d, _ in tiers)
+    for d in (x1, x2):
+        assert (d / "documents.parquet").exists()
+        assert (d / m._MARKER).read_text().strip() == m.GEN_SCHEME
+
+    # cache hit: nothing rewritten
+    stamps = {d: os.stat(d / "documents.parquet").st_mtime_ns for d in (x1, x2)}
+    m.ensure_longdocs(str(out))
+    assert {d: os.stat(d / "documents.parquet").st_mtime_ns for d in (x1, x2)} == stamps
+
+    # stale marker on ONE tier -> ALL tiers regenerate, markers restored
+    (x1 / m._MARKER).write_text("perdoc-v0:stale\n")
+    m.ensure_longdocs(str(out))
+    assert (x1 / m._MARKER).read_text().strip() == m.GEN_SCHEME
+    new_stamps = {d: os.stat(d / "documents.parquet").st_mtime_ns for d in (x1, x2)}
+    assert new_stamps[x1] != stamps[x1] and new_stamps[x2] != stamps[x2]
+
+    # missing tier is filled in alone; nesting holds
+    shutil.rmtree(x2)
+    m.ensure_longdocs(str(out))
+    assert os.stat(x1 / "documents.parquet").st_mtime_ns == new_stamps[x1]
+    t1 = pq.read_table(x1 / "documents.parquet")
+    t2 = pq.read_table(x2 / "documents.parquet")
+    assert t2.slice(0, t1.num_rows).equals(t1)
