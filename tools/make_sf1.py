@@ -47,6 +47,12 @@ DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 COPIES = 10
 SEED = 421
 
+# Generation-scheme marker (r13, same pattern as make_longdocs): bump the
+# version on ANY change to the tiling/synthesis scheme or its parameters
+# so a cached pre-change sf1 is regenerated instead of silently reused.
+GEN_SCHEME = f"sf1-v1:seed={SEED},copies={COPIES},src={SRC}"
+_MARKER = "_GENSCHEME"
+
 # key column -> per-copy offset stride (the sf0.1 cardinality of its entity)
 _KEY_STRIDES = {
     "o_orderkey": 150_000,
@@ -152,14 +158,21 @@ def build(out_dir: str = DEFAULT_OUT) -> str:
         _tile_table(name, tmp)
     _make_documents(rng, tmp)
     _make_embeddings(rng, tmp)
+    with open(f"{tmp}/{_MARKER}", "w") as f:
+        f.write(GEN_SCHEME + "\n")
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return out_dir
 
 
 def ensure_sf1(out_dir: str = DEFAULT_OUT) -> str:
-    """Build sf1 if absent; return its path."""
-    if os.path.isdir(out_dir) and os.path.exists(f"{out_dir}/lineitem.parquet"):
+    """Build sf1 if absent or generated under an older scheme; return its path."""
+    try:
+        with open(f"{out_dir}/{_MARKER}") as f:
+            fresh = f.read().strip() == GEN_SCHEME
+    except OSError:
+        fresh = False
+    if fresh and os.path.exists(f"{out_dir}/lineitem.parquet"):
         return out_dir
     return build(out_dir)
 
