@@ -129,9 +129,28 @@ def _skew_table(src_path: str, key: str, rng: np.random.Generator) -> pa.Table:
     return tbl.set_column(tbl.schema.get_field_index(key), field, patched)
 
 
+def _skew_scheme(base_dir: str) -> str:
+    """Cache-validation string for a skewed twin (r13): its own plant
+    params plus the base tier's generation marker when one exists, so a
+    regenerated base (e.g. sf1 under a new scheme) invalidates the twin."""
+    try:
+        with open(os.path.join(base_dir, "_GENSCHEME")) as f:
+            base = f.read().strip()
+    except OSError:
+        base = "shipped"
+    return f"skew-v1:hot={HOT_FRAC},seed={SEED},base={base}"
+
+
 def build_skew(base_dir: str, out_dir: str) -> str:
-    """Materialize the skewed twin of ``base_dir`` (idempotent)."""
-    if os.path.isdir(out_dir) and os.path.exists(f"{out_dir}/lineitem.parquet"):
+    """Materialize the skewed twin of ``base_dir`` (idempotent; rebuilt
+    when the scheme marker is absent or mismatched)."""
+    scheme = _skew_scheme(base_dir)
+    try:
+        with open(f"{out_dir}/_GENSCHEME") as f:
+            fresh = f.read().strip() == scheme
+    except OSError:
+        fresh = False
+    if fresh and os.path.exists(f"{out_dir}/lineitem.parquet"):
         return out_dir
     tmp = out_dir + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -146,6 +165,8 @@ def build_skew(base_dir: str, out_dir: str) -> str:
             pq.write_table(_skew_table(src, _SKEWED_KEYS[name], rng), f"{tmp}/{fname}")
         else:
             shutil.copy(src, f"{tmp}/{fname}")
+    with open(f"{tmp}/_GENSCHEME", "w") as f:
+        f.write(scheme + "\n")
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return out_dir
