@@ -715,16 +715,24 @@ def test_sim14_single_pass_no_joins(spark):
 
 
 def test_dedup_candidate_joins_stay_sort_merge(spark):
-    """dd04/dd18 candidate generation: every join keyed on an EXPLODED
-    combo/single-shingle hash must be sort-merge (r12 — pins the merge
-    hints on the combo leg and both spill legs).  Catalyst size-estimates
-    the post-explode sides from the tiny pre-explode array table, so left
-    alone it broadcasts a side that is actually O(docs × combos) — the
-    measured sf1 OOM that introduced the hints.  The checkpointed arr /
-    raw shingle sides keep scan-derived estimates that scale with the
-    input, so the verify and t≤1 inverted-index joins may stay broadcast
-    at test scale and adapt on their own; only the double-exploded legs
-    need pinning."""
+    """dd04/dd18/dd22: EVERY join in the prefix-filtered pair pipeline
+    must be sort-merge — candidate legs, verify joins, the t≤1
+    inverted-index leg, and the df-ranking join alike.
+
+    r12 pinned only the double-exploded candidate legs (Catalyst
+    size-estimates them from the tiny pre-explode array table and
+    broadcasts an O(docs × combos) side — the measured sf1 OOM) and
+    reasoned the remaining joins "keep scan-derived estimates and adapt
+    on their own".  That reasoning was WRONG, and the longdocs x32 tier
+    falsified it (r13): AQE's runtime broadcast conversion judges the
+    post-shuffle side by COMPRESSED bytes, which undershoots the
+    deserialized hash relation ~10-40× for shingle-array rows, so the
+    verify join's array side (26 MB compressed / ~330 MB raw at 32k
+    docs) was converted to broadcast and building two such relations
+    concurrently exceeded the 8 GiB driver
+    (notEnoughMemoryToBuildAndBroadcastTableError).  Every side in this
+    pipeline is O(corpus); none is ever broadcastable, so the gate now
+    rejects ANY broadcast join node in these plans."""
     import re
 
     for name in (
@@ -733,9 +741,13 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
         "dd22_jaccard_pairs_strict",
     ):
         plan = plan_of(spark, name)
-        assert not re.search(r"BroadcastHashJoin \[(combo|sh1)#", plan), name
-        assert not re.search(r"ShuffledHashJoin \[(combo|sh1)#", plan), name
+        assert "BroadcastHashJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
         assert len(re.findall(r"SortMergeJoin \[combo#", plan)) == 1, name
         # two spill legs: spill-probe vs all-t≥2 index, combo-probe vs
         # spill index
         assert len(re.findall(r"SortMergeJoin \[sh1#", plan)) == 2, name
+        # two verify joins against the full doc-array table
+        assert len(re.findall(r"SortMergeJoin \[doc_a#", plan)) == 1, name
+        assert len(re.findall(r"SortMergeJoin \[doc_b#", plan)) == 1, name

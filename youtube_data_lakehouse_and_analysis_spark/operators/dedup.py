@@ -203,10 +203,19 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
     """(id, shingles, n): per-doc shingle array in ascending GLOBAL
     (df, shingle) order — the canonical prefix-filtering order: rare
     shingles first, so prefixes shed the hot shingles that drive
-    candidate volume on Zipfian corpora.  n = |distinct shingles|."""
+    candidate volume on Zipfian corpora.  n = |distinct shingles|.
+
+    The df join is pinned sort-merge (r13): dfreq is the corpus's
+    distinct-shingle table — vocabulary-sized, i.e. O(corpus) — and
+    AQE's runtime broadcast conversion (post-shuffle bytes under the
+    64 MB session threshold) would happily broadcast it at small tiers
+    and OOM the driver once the corpus grows (see _verified_overlaps
+    for the measured failure of this pattern at the longdocs x32
+    tier)."""
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return (
-        sh.join(dfreq, "shingle")
+        sh.hint("merge")
+        .join(dfreq, "shingle")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
         .select(
@@ -327,9 +336,16 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     )
     # tiny leg: t ≤ 1 docs can qualify on a SINGLE shared shingle, so
     # their probes must see the entire corpus — full inverted-index join.
+    # Pinned sort-merge (r13): the corpus shingle table is the RIGHT
+    # side, and AQE's runtime conversion broadcast it whenever its
+    # compressed shuffle bytes dipped under the threshold — an
+    # O(corpus) build that cannot survive growth (at thresholds where
+    # this leg is non-empty the probe side is small, but the build side
+    # never is).
     small_sh = small.select(F.col(id_col).alias("doc_s"), F.explode("shingles").alias("shingle"))
     small_cand = (
-        small_sh.join(sh.select(F.col(id_col).alias("doc_o"), "shingle"), "shingle")
+        small_sh.hint("merge")
+        .join(sh.select(F.col(id_col).alias("doc_o"), "shingle"), "shingle")
         .filter(F.col("doc_s") != F.col("doc_o"))
         .select(
             F.least("doc_s", "doc_o").alias("doc_a"),
@@ -402,11 +418,26 @@ def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFram
     n_common = |A∩B| from intersecting the two full shingle arrays
     (distinct per doc, so set semantics hold) — integer counts,
     engine-exact; pairs sharing no real shingle (possible via hash
-    collisions in candidate generation) drop out at n_common ≥ 1."""
+    collisions in candidate generation) drop out at n_common ≥ 1.
+
+    Both verify joins are pinned sort-merge (r13).  The array side is
+    every doc's FULL shingle array — O(corpus text) — and the candidate
+    side is O(qualifying pairs); neither is broadcastable at scale.
+    Left to AQE, the runtime broadcast conversion saw the array side's
+    compressed shuffle bytes under the 64 MB session threshold at the
+    longdocs x8/x16 tiers and broadcast it; at x32 (32k docs, ~26 MB
+    compressed, ~330 MB of raw arrays) building the TWO concurrent
+    hash relations exceeded the 8 GiB driver and the whole job died
+    with notEnoughMemoryToBuildAndBroadcastTableError — the exact
+    works-small/dies-at-1000× hazard this repo's plan gates exist for.
+    Compressed-bytes-vs-hash-relation expansion is ~10-40× here, so
+    the threshold check systematically underestimates the build."""
     va = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a"))
     vb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n").alias("n_b"))
     return (
-        cand.join(va, "doc_a")
+        cand.hint("merge")
+        .join(va, "doc_a")
+        .hint("merge")
         .join(vb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .filter(F.col("n_common") >= 1)
