@@ -22,6 +22,12 @@ Usage: python tools/scaling_audit.py [--json] [--no-sf1] [query ...]
        python tools/scaling_audit.py --longdocs [--json] [query ...]
 Exit 0 = every audited operator inside its bound.
 
+``--reps N`` overrides the per-(query, scale) repetition count (default
+3; min is taken) and ``--max-tier S`` drops tiers above scale S — both
+for budgeting deliberately expensive re-measures (e.g. dd04's pinned
+quadratic regime, where one x32 rep costs ~50 min).  Results produced
+with non-default settings should say so wherever they are recorded.
+
 ``--longdocs`` (r12) audits the SHINGLE-FED operators on the longdocs
 tiers (tools/make_longdocs.py: log-normal ~2 kB docs, Zipfian 50k-word
 vocabulary, x1..x32 = 1k..32k docs) instead of the sf tiers.  The sf
@@ -133,9 +139,20 @@ LONGDOCS_AUDITED = {
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    emit_json = "--json" in sys.argv
-    longdocs = "--longdocs" in sys.argv
+    argv = list(sys.argv[1:])
+    reps = REPS
+    max_tier = None
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--max-tier" in argv:
+        i = argv.index("--max-tier")
+        max_tier = float(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    emit_json = "--json" in argv
+    longdocs = "--longdocs" in argv
     audited = LONGDOCS_AUDITED if longdocs else AUDITED
     names = args or list(audited)
     unknown = [n for n in names if n not in audited]
@@ -150,10 +167,15 @@ def main() -> int:
         sf_dirs = ensure_longdocs()
     else:
         sf_dirs = list(SF_DIRS)
-        if "--no-sf1" not in sys.argv:
+        if "--no-sf1" not in argv:
             from tools.make_sf1 import ensure_sf1
 
             sf_dirs.append((ensure_sf1(), 1.0))
+    if max_tier is not None:
+        sf_dirs = [(d, s) for d, s in sf_dirs if s <= max_tier]
+        if len(sf_dirs) < 2:
+            print("--max-tier leaves fewer than 2 tiers; nothing to fit", file=sys.stderr)
+            return 2
 
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
@@ -169,7 +191,7 @@ def main() -> int:
         times = []
         for sf_dir, sf in sf_dirs:
             best = math.inf
-            for _ in range(REPS):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
@@ -188,6 +210,7 @@ def main() -> int:
             "exponent_full_range": round(exp_full, 3),
             "bound": bound,
             "ok": ok,
+            "reps": reps,
             "argument": why,
         }
         if not ok:
