@@ -731,8 +731,16 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
     docs) was converted to broadcast and building two such relations
     concurrently exceeded the 8 GiB driver
     (notEnoughMemoryToBuildAndBroadcastTableError).  Every side in this
-    pipeline is O(corpus); none is ever broadcastable, so the gate now
-    rejects ANY broadcast join node in these plans."""
+    pipeline is O(corpus); none is ever broadcastable, so the gate
+    rejects ANY broadcast join node in these plans.
+
+    The verify joins specifically must be SHUFFLED-HASH with the array
+    side as build, not sort-merge: SMJ would sort the candidate×array
+    intermediate, which in dd04's quadratic regime (~10⁸ candidates ×
+    multi-KB arrays at longdocs x16) is a terabyte-scale external sort
+    that OOMed where the broadcast plan had completed.  Streamed-hash
+    keeps candidates unsorted and bounds the build at docs/partitions
+    (see operators/dedup.py _verified_overlaps)."""
     import re
 
     for name in (
@@ -743,11 +751,12 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "ShuffledHashJoin" not in plan, name
         assert len(re.findall(r"SortMergeJoin \[combo#", plan)) == 1, name
         # two spill legs: spill-probe vs all-t≥2 index, combo-probe vs
         # spill index
         assert len(re.findall(r"SortMergeJoin \[sh1#", plan)) == 2, name
-        # two verify joins against the full doc-array table
-        assert len(re.findall(r"SortMergeJoin \[doc_a#", plan)) == 1, name
-        assert len(re.findall(r"SortMergeJoin \[doc_b#", plan)) == 1, name
+        # two streamed-hash verify joins, array side built
+        assert len(re.findall(r"ShuffledHashJoin \[doc_a#\d+L\], \[doc_a#\d+L\], Inner, BuildRight", plan)) == 1, name
+        assert len(re.findall(r"ShuffledHashJoin \[doc_b#\d+L\], \[doc_b#\d+L\], Inner, BuildRight", plan)) == 1, name
+        # and nothing else hash-joins: candidate legs stay sort-merge
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == 2, name

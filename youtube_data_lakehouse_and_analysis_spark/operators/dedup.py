@@ -420,25 +420,39 @@ def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFram
     engine-exact; pairs sharing no real shingle (possible via hash
     collisions in candidate generation) drop out at n_common ≥ 1.
 
-    Both verify joins are pinned sort-merge (r13).  The array side is
-    every doc's FULL shingle array — O(corpus text) — and the candidate
-    side is O(qualifying pairs); neither is broadcastable at scale.
-    Left to AQE, the runtime broadcast conversion saw the array side's
-    compressed shuffle bytes under the 64 MB session threshold at the
-    longdocs x8/x16 tiers and broadcast it; at x32 (32k docs, ~26 MB
-    compressed, ~330 MB of raw arrays) building the TWO concurrent
-    hash relations exceeded the 8 GiB driver and the whole job died
-    with notEnoughMemoryToBuildAndBroadcastTableError — the exact
-    works-small/dies-at-1000× hazard this repo's plan gates exist for.
-    Compressed-bytes-vs-hash-relation expansion is ~10-40× here, so
-    the threshold check systematically underestimates the build."""
+    Both verify joins are pinned SHUFFLED-HASH with the array side as
+    the build (r13), because both alternatives fail at scale, each
+    measured on the longdocs tiers:
+
+    * Unpinned, AQE's runtime broadcast conversion judged the array
+      side by COMPRESSED shuffle bytes (under the 64 MB session
+      threshold at x8/x16) and broadcast it; at x32 (32k docs, ~26 MB
+      compressed, ~330 MB of raw arrays) building TWO concurrent
+      driver hash relations exceeded the 8 GiB driver
+      (notEnoughMemoryToBuildAndBroadcastTableError).  The
+      compressed-bytes-vs-hash-relation expansion is ~10-40× for
+      shingle-array rows, so the threshold check systematically
+      underestimates the build, and a corpus-sized side must NEVER be
+      broadcast regardless of what the runtime stats claim.
+    * Pinned sort-merge, the second join must SORT the candidate ×
+      sh_a intermediate — every candidate row carrying a multi-KB
+      array.  In dd22's near-linear regime that is merely wasteful; in
+      dd04's quadratic verify regime (~10⁸ candidates at longdocs x16)
+      it is a terabyte-scale external sort and the executor dies of
+      heap exhaustion where the r12 plan completed.
+
+    Shuffled-hash with BuildRight = the array side is the shape that
+    survives both regimes: candidates stream with NO sort, the per-
+    partition build is O(docs/partitions) — bounded by a free
+    parameter at 100 TB, unlike the candidate volume — and no
+    driver-side relation exists.  The arrays are dropped in the same
+    stage right after array_intersect, so nothing array-laden is ever
+    re-shuffled."""
     va = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a"))
     vb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n").alias("n_b"))
     return (
-        cand.hint("merge")
-        .join(va, "doc_a")
-        .hint("merge")
-        .join(vb, "doc_b")
+        cand.join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .filter(F.col("n_common") >= 1)
         .select("doc_a", "doc_b", "n_a", "n_b", "n_common")
