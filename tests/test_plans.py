@@ -734,29 +734,36 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
     pipeline is O(corpus); none is ever broadcastable, so the gate
     rejects ANY broadcast join node in these plans.
 
-    The verify joins specifically must be SHUFFLED-HASH with the array
-    side as build, not sort-merge: SMJ would sort the candidate×array
-    intermediate, which in dd04's quadratic regime (~10⁸ candidates ×
-    multi-KB arrays at longdocs x16) is a terabyte-scale external sort
-    that OOMed where the broadcast plan had completed.  Streamed-hash
-    keeps candidates unsorted and bounds the build at docs/partitions
-    (see operators/dedup.py _verified_overlaps)."""
+    The verify joins are strategy-BY-REGIME (operators/dedup.py
+    _verified_overlaps, r13): discovery thresholds (τ ≥ 0.3: dd18,
+    dd22) pin SHUFFLED-HASH with the array side as build — candidates
+    stream unsorted and nothing is driver-sized — because sort-merge
+    would sort, and shuffled-hash-with-candidate-shuffle did shuffle,
+    the candidate×array intermediate (the τ=0.02 x16 re-measure filled
+    a 250 GB disk under SMJ/heap under plain SHJ ordering).  Loose-τ
+    verify (dd04, τ=0.02) BINDS the broadcast instead: the only shape
+    whose candidate-side cost is O(pairs × 16 B), at the documented
+    bounded-memory contract of the quadratic verify regime."""
     import re
 
-    for name in (
-        "dd04_jaccard_pairs",
-        "dd18_containment_pairs",
-        "dd22_jaccard_pairs_strict",
-    ):
+    def counts(name):
         plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert len(re.findall(r"SortMergeJoin \[combo#", plan)) == 1, name
         # two spill legs: spill-probe vs all-t≥2 index, combo-probe vs
         # spill index
         assert len(re.findall(r"SortMergeJoin \[sh1#", plan)) == 2, name
-        # two streamed-hash verify joins, array side built
-        assert len(re.findall(r"ShuffledHashJoin \[doc_a#\d+L\], \[doc_a#\d+L\], Inner, BuildRight", plan)) == 1, name
-        assert len(re.findall(r"ShuffledHashJoin \[doc_b#\d+L\], \[doc_b#\d+L\], Inner, BuildRight", plan)) == 1, name
-        # and nothing else hash-joins: candidate legs stay sort-merge
-        assert len(re.findall(r"ShuffledHashJoin", plan)) == 2, name
+        shj_a = len(re.findall(r"ShuffledHashJoin \[doc_a#\d+L\], \[doc_a#\d+L\], Inner, BuildRight", plan))
+        shj_b = len(re.findall(r"ShuffledHashJoin \[doc_b#\d+L\], \[doc_b#\d+L\], Inner, BuildRight", plan))
+        bc_a = len(re.findall(r"BroadcastHashJoin \[doc_a#\d+L\], \[doc_a#\d+L\], Inner, BuildRight", plan))
+        bc_b = len(re.findall(r"BroadcastHashJoin \[doc_b#\d+L\], \[doc_b#\d+L\], Inner, BuildRight", plan))
+        # no OTHER hash/broadcast joins beyond the two verify joins
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == shj_a + shj_b, name
+        assert len(re.findall(r"BroadcastHashJoin", plan)) == bc_a + bc_b, name
+        return shj_a, shj_b, bc_a, bc_b
+
+    # discovery regime: streamed-hash verify, zero broadcasts
+    for name in ("dd18_containment_pairs", "dd22_jaccard_pairs_strict"):
+        assert counts(name) == (1, 1, 0, 0), name
+    # loose-τ verify regime: bound broadcast verify, zero shuffled-hash
+    assert counts("dd04_jaccard_pairs") == (0, 0, 1, 1)

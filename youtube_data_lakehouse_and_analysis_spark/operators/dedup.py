@@ -413,16 +413,26 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     return combo_cand.unionByName(small_cand).unionByName(spill_cand).distinct()
 
 
-def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
+# Verify-join strategy boundary (r13): thresholds at or above this
+# stream (shuffled-hash verify, scales with the corpus); below it the
+# arrays are broadcast (the loose-τ verify contract, bounded by memory).
+# 0.3 is the lowest MEASURED-linear threshold (dd18's containment τ;
+# dd22's Jaccard τ=0.5 likewise) — the boundary is deliberately placed
+# on evidence, not extrapolation.
+STREAM_VERIFY_MIN_TAU = 0.3
+
+
+def _verified_overlaps(
+    cand: DataFrame, arr: DataFrame, id_col: str, stream_verify: bool
+) -> DataFrame:
     """Exact verification: (doc_a, doc_b, n_a, n_b, n_common) with
     n_common = |A∩B| from intersecting the two full shingle arrays
     (distinct per doc, so set semantics hold) — integer counts,
     engine-exact; pairs sharing no real shingle (possible via hash
     collisions in candidate generation) drop out at n_common ≥ 1.
 
-    Both verify joins are pinned SHUFFLED-HASH with the array side as
-    the build (r13), because both alternatives fail at scale, each
-    measured on the longdocs tiers:
+    The join strategy is chosen BY REGIME (r13), because the longdocs
+    x16/x32 tiers measured every one-size-fits-all choice failing:
 
     * Unpinned, AQE's runtime broadcast conversion judged the array
       side by COMPRESSED shuffle bytes (under the 64 MB session
@@ -432,27 +442,41 @@ def _verified_overlaps(cand: DataFrame, arr: DataFrame, id_col: str) -> DataFram
       (notEnoughMemoryToBuildAndBroadcastTableError).  The
       compressed-bytes-vs-hash-relation expansion is ~10-40× for
       shingle-array rows, so the threshold check systematically
-      underestimates the build, and a corpus-sized side must NEVER be
-      broadcast regardless of what the runtime stats claim.
+      underestimates the build.
     * Pinned sort-merge, the second join must SORT the candidate ×
-      sh_a intermediate — every candidate row carrying a multi-KB
-      array.  In dd22's near-linear regime that is merely wasteful; in
-      dd04's quadratic verify regime (~10⁸ candidates at longdocs x16)
-      it is a terabyte-scale external sort and the executor dies of
-      heap exhaustion where the r12 plan completed.
+      sh_a intermediate — every candidate row dragging a multi-KB
+      array.  In the quadratic verify regime (~10⁸ candidates at
+      longdocs x16, τ=0.02) the executor died of heap exhaustion.
+    * Pinned shuffled-hash (arrays built per partition), candidates
+      stream without sorting — but the second join still SHUFFLES the
+      candidate × sh_a intermediate, and at τ=0.02/x16 that spill
+      filled a 250 GB disk.  Only array-side broadcast avoids moving
+      arrays per candidate, which is why the broadcast plan is the
+      only one that ever completed the quadratic regime.
 
-    Shuffled-hash with BuildRight = the array side is the shape that
-    survives both regimes: candidates stream with NO sort, the per-
-    partition build is O(docs/partitions) — bounded by a free
-    parameter at 100 TB, unlike the candidate volume — and no
-    driver-side relation exists.  The arrays are dropped in the same
-    stage right after array_intersect, so nothing array-laden is ever
-    re-shuffled."""
+    So: ``stream_verify=True`` (discovery thresholds, candidate volume
+    measured near-linear in the corpus) pins shuffled-hash with the
+    array side as build — candidates stream unsorted, the per-
+    partition build is O(docs/partitions), nothing is driver-sized,
+    and the array-laden intermediate is O(pairs) ≈ O(corpus).
+    ``stream_verify=False`` (loose-τ verify) BINDS a broadcast of the
+    array tables: the only plan whose candidate-side cost is O(pairs ×
+    16 bytes), at the documented price that the array table must fit
+    in memory.  That price is the operator's contract, not a bug: at
+    100 TB, loose-τ exact verify runs on an LSH/blocking-bounded
+    candidate set whose doc subset (and hence broadcast) is bounded —
+    corpus-wide loose-τ verification is the Σ df(s)² quadratic floor
+    no plan shape can remove (SCALE.md).  Arrays are dropped in the
+    same stage right after array_intersect either way."""
     va = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a"))
     vb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n").alias("n_b"))
+    if stream_verify:
+        va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
+    else:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
-        cand.join(va.hint("shuffle_hash"), "doc_a")
-        .join(vb.hint("shuffle_hash"), "doc_b")
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .filter(F.col("n_common") >= 1)
         .select("doc_a", "doc_b", "n_a", "n_b", "n_common")
@@ -496,7 +520,12 @@ def jaccard_pairs(
         )
     )
     return (
-        _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col)
+        _verified_overlaps(
+            _overlap_candidates(sh, arr, id_col),
+            arr,
+            id_col,
+            stream_verify=float(threshold) >= STREAM_VERIFY_MIN_TAU,
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -533,7 +562,12 @@ def jaccard_truth_pairs(
             "ts", F.ceil(F.lit(j_num / j_den) * F.col("n") - F.lit(_T_SLACK)).cast("int")
         )
     )
-    return _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col).filter(
+    return _verified_overlaps(
+        _overlap_candidates(sh, arr, id_col),
+        arr,
+        id_col,
+        stream_verify=(j_num / j_den) >= STREAM_VERIFY_MIN_TAU,
+    ).filter(
         F.lit(j_den) * F.col("n_common")
         >= F.lit(j_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     )
@@ -608,7 +642,12 @@ def containment_pairs(
         )
     )
     return (
-        _verified_overlaps(_overlap_candidates(sh, arr, id_col), arr, id_col)
+        _verified_overlaps(
+            _overlap_candidates(sh, arr, id_col),
+            arr,
+            id_col,
+            stream_verify=float(threshold) >= STREAM_VERIFY_MIN_TAU,
+        )
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
