@@ -23,9 +23,11 @@ Usage: python tools/scaling_audit.py [--json] [--no-sf1] [query ...]
 Exit 0 = every audited operator inside its bound.
 
 ``--reps N`` overrides the per-(query, scale) repetition count (default
-3; min is taken) and ``--max-tier S`` drops tiers above scale S — both
-for budgeting deliberately expensive re-measures (e.g. dd04's pinned
-quadratic regime, where one x32 rep costs ~50 min).  Results produced
+3; min is taken); ``--max-tier S`` drops tiers above scale S and
+``--min-tier S`` drops tiers below it — all for budgeting deliberately
+expensive re-measures (e.g. dd04's pinned quadratic regime, where one
+x32 rep costs ~50 min; ``--min-tier 16`` re-fits just the top doubling
+without re-paying the already-pinned small tiers).  Results produced
 with non-default settings should say so wherever they are recorded.
 
 ``--longdocs`` (r12) audits the SHINGLE-FED operators on the longdocs
@@ -142,6 +144,7 @@ def main() -> int:
     argv = list(sys.argv[1:])
     reps = REPS
     max_tier = None
+    min_tier = None
     if "--reps" in argv:
         i = argv.index("--reps")
         reps = int(argv[i + 1])
@@ -149,6 +152,10 @@ def main() -> int:
     if "--max-tier" in argv:
         i = argv.index("--max-tier")
         max_tier = float(argv[i + 1])
+        del argv[i : i + 2]
+    if "--min-tier" in argv:
+        i = argv.index("--min-tier")
+        min_tier = float(argv[i + 1])
         del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     emit_json = "--json" in argv
@@ -173,9 +180,11 @@ def main() -> int:
             sf_dirs.append((ensure_sf1(), 1.0))
     if max_tier is not None:
         sf_dirs = [(d, s) for d, s in sf_dirs if s <= max_tier]
-        if len(sf_dirs) < 2:
-            print("--max-tier leaves fewer than 2 tiers; nothing to fit", file=sys.stderr)
-            return 2
+    if min_tier is not None:
+        sf_dirs = [(d, s) for d, s in sf_dirs if s >= min_tier]
+    if len(sf_dirs) < 2:
+        print("--max-tier/--min-tier leave fewer than 2 tiers; nothing to fit", file=sys.stderr)
+        return 2
 
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
