@@ -24,7 +24,7 @@ This tool manufactures that regime, deterministically:
   density: doc i is a near-dup of doc i-20 (5% of token positions
   resampled) when ``i % 50 == 25``, and an exact dup of doc i-30 when
   ``i % 100 == 99``.
-* **Tiers** — x1..x32 = 1k..32k docs, NESTED: doc i draws from
+* **Tiers** — x1..x64 = 1k..64k docs, NESTED: doc i draws from
   its OWN ``default_rng(SEED·1000003 + i)`` (r12), so tier k is a
   byte-identical prefix of every larger tier and adding tiers never
   regenerates existing docs.  Exponents measure pure corpus growth of
@@ -61,7 +61,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_OUT = os.path.join(_ROOT, ".localdata", "longdocs")
 
 SEED = 1207
-TIERS = (1, 2, 4, 8, 16, 32)
+TIERS = (1, 2, 4, 8, 16, 32, 64)
 _BASE_DOCS = 1000
 _VOCAB = 50_000
 _ZIPF_S = 1.05

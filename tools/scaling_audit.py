@@ -32,7 +32,7 @@ with non-default settings should say so wherever they are recorded.
 
 ``--longdocs`` (r12) audits the SHINGLE-FED operators on the longdocs
 tiers (tools/make_longdocs.py: log-normal ~2 kB docs, Zipfian 50k-word
-vocabulary, x1..x32 = 1k..32k docs) instead of the sf tiers.  The sf
+vocabulary, x1..x64 = 1k..64k docs) instead of the sf tiers.  The sf
 documents tables are a friendly regime — 31-word vocab, every doc under
 the combo cap; longdocs is the regime these operators target, where the
 median doc overflows the cap (exercising the r12 spill legs) and hot
