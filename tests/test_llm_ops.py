@@ -319,6 +319,26 @@ def test_containment_bounds_and_subset_detection(spark):
         assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0
 
 
+def test_shingle_hash_distinctness_on_fixtures(spark):
+    """Corpus-wide invariant backing the r13 spill-leg ≥2-distinct-keys
+    filter (operators/dedup.py _overlap_candidates): the filter counts
+    DISTINCT xxhash64 keys per candidate pair, so its losslessness
+    additionally needs no two distinct shingles of the corpus to share a
+    hash.  |distinct shingles| == |distinct xxhash64(shingle)| proves
+    zero collisions corpus-wide in one linear aggregation — the same
+    check any production corpus can run before trusting the filter."""
+    docs = load(spark, SF_DIR, "documents")
+    sh = D.shingle_rows(docs).select("shingle").distinct()
+    n_shingles, n_hashes = (
+        sh.agg(
+            F.count("*").alias("s"),
+            F.count_distinct(F.xxhash64("shingle")).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert n_shingles == n_hashes and n_shingles > 0
+
+
 def test_containment_prefix_filter_lossless(spark):
     """The r10 combo-signature candidate generation must be LOSSLESS: at
     every threshold (including τ=0, where every doc takes the

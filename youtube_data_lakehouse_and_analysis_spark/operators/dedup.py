@@ -354,24 +354,38 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     )
     # spill legs (r12): t ≥ 2 docs whose index prefix overflows the combo
     # cap.  Their pairs need overlap ≥ 2, so the SINGLE-shingle AllPairs
-    # prefix applies: the pair's globally-rarest common shingle s₁ has
-    # only non-shared shingles before it in either member, i.e. position
-    # ≤ n − c + 1 ≤ n − t + 1 (probe role, valid when the probing doc is
-    # the pair's min side — both members probe, so one leg always is) /
-    # n − ts + 1 (index role, any side).  Probing with all n shingles
-    # instead — the pre-r12 fallback — is Σ_s df(s)² in the hot tail:
-    # one boilerplate shingle shared by 10% of a Zipfian corpus makes
-    # that leg quadratic in the corpus, and df-ranked prefixes shed
-    # exactly those hot shingles first.  TWO joins cover every pair with
-    # ≥ 1 spill member without re-deriving combo×combo: S1 = spill docs
-    # probe vs ALL t ≥ 2 docs indexed (covers min-side-spill pairs); S2 =
-    # combo docs probe vs spill docs indexed (covers min-side-combo,
-    # max-side-spill pairs).  Shingles are hashed to 8-byte keys like the
-    # combo leg (collisions only add candidates); on corpora where no doc
-    # overflows the cap both legs are empty scans.
+    # prefix applies — but REQUIRING BOTH of the pair's two rarest
+    # common shingles (r13): the combo argument bounds s₂'s position at
+    # n − c + 2 ≤ n − t + 2 in the pair's min side and ≤ n − ts + 2 in
+    # either member when a symmetric bound exists, so probing with the
+    # first n − t + 2 shingles and indexing with the first n − ts + 2
+    # (or all n for asymmetric metrics) guarantees a qualifying pair ≥ 2
+    # DISTINCT shared keys in the leg where its min side probes.  The
+    # pre-r13 form kept any pair sharing ONE prefix shingle, and the
+    # longdocs x64 tier measured that candidate set superquadratic
+    # (4.8k → 30k → 291k over x16/x32/x64 for dd18 while true output
+    # stayed exactly linear): every mid-frequency shingle that survives
+    # a df-ranked prefix pairs its df² document combinations.  Counting
+    # DISTINCT shared keys ≥ 2 collapses that mass at a map-side partial
+    # aggregate — the join volume itself is linear — while staying
+    # lossless by the same two-rarest-common-shingles argument the combo
+    # leg rests on.  (Distinctness of the two keys assumes
+    # xxhash64(s₁) ≠ xxhash64(s₂) for two DISTINCT shingles of one
+    # qualifying pair — tests/test_llm_ops.py pins a corpus-wide
+    # distinct-shingle == distinct-hash invariant on the fixtures, and
+    # any corpus can assert the same linear check before trusting the
+    # filter.)  TWO joins cover every pair with ≥ 1 spill member without
+    # re-deriving combo×combo: S1 = spill docs probe vs ALL t ≥ 2 docs
+    # indexed (covers min-side-spill pairs); S2 = combo docs probe vs
+    # spill docs indexed (covers min-side-combo, max-side-spill pairs).
+    # Both legs keep the shared key through the pair projection so the
+    # ≥ 2 count dedups across legs/directions (a spill–spill pair meets
+    # S1 twice, once per probing direction, with the SAME key values).
+    # Shingles are hashed to 8-byte keys like the combo leg; on corpora
+    # where no doc overflows the cap both legs are empty scans.
     big2 = arr.filter(F.col("t") >= 2)
     if "ts" in arr.columns:
-        idx1_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 1)
+        idx1_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 2)
     else:
         idx1_upto = F.col("n")
 
@@ -380,7 +394,7 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             F.col(id_col).alias("doc_p"),
             F.explode(
                 F.transform(
-                    F.slice("shingles", 1, F.col("n") - F.col("t") + 1),
+                    F.slice("shingles", 1, F.col("n") - F.col("t") + 2),
                     lambda s: F.xxhash64(s),
                 )
             ).alias("sh1"),
@@ -404,11 +418,20 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             .select(
                 F.least("doc_p", "doc_i").alias("doc_a"),
                 F.greatest("doc_p", "doc_i").alias("doc_b"),
+                "sh1",
             )
         )
 
-    spill_cand = pair_up(single_probe(spill), single_index(big2)).unionByName(
+    spill_hits = pair_up(single_probe(spill), single_index(big2)).unionByName(
         pair_up(single_probe(big), single_index(spill))
+    )
+    spill_cand = (
+        # ≥ 2 distinct keys ⟺ min(key) < max(key): one partial-agg pass,
+        # no per-group distinct set
+        spill_hits.groupBy("doc_a", "doc_b")
+        .agg(F.min("sh1").alias("k_lo"), F.max("sh1").alias("k_hi"))
+        .filter(F.col("k_lo") != F.col("k_hi"))
+        .select("doc_a", "doc_b")
     )
     return combo_cand.unionByName(small_cand).unionByName(spill_cand).distinct()
 
