@@ -119,7 +119,9 @@ LONGDOCS_AUDITED = {
     ),
     "dd18_containment_pairs": (
         1.5,
-        "same machinery, asymmetric bound: full index on the spill legs",
+        "same machinery, asymmetric bound: full index on the spill legs; "
+        "the r13 >=2-distinct-keys spill filter is what keeps the "
+        "candidate set linear (pre-fix x32->x64 measured 1.76)",
     ),
     "dd03_lsh_candidate_pairs": (
         1.5,
