@@ -26,45 +26,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 13 front-loads (a) a03, whose contract changed
-# this round — the HLL estimate is now oracled via its ±5% accuracy
-# bound against the exact distinct count, so its row can finally go
-# green instead of rows-only (it is also in the stale cohort below) —
-# then (b) the 41 queries whose latest driver row is r6 and (c) the 9
-# alphabetically-first of the 29 r7 rows, computed mechanically from
-# CORRECTNESS_r01..r12 (latest-round histogram before this rotation:
-# r6:41, r7:29, r8:46, r9:44, r11:46, r12:50).  After this round no
-# sampled query's driver evidence is older than r7, and one further
-# rotation (the 20 remaining r7 rows + the oldest r8 rows) reaches
-# full freshness.  Queries outside the sample are covered by the local
-# strict sweep (tools/verify_local.py) and queue for the r14 rotation.
+# in dict order.  Round 14 front-loads (a) the four pair-machinery
+# queries whose code changed this round — the spill-leg AllPairs filter
+# now keys on a 128-bit (dual-seeded xxhash64) pair instead of a single
+# 64-bit hash, touching dd04/dd18/dd22 directly and dd21 via
+# jaccard_truth_pairs — then (b) the 20 queries whose latest driver row
+# is r7 and (c) the 26 alphabetically-first of the 46 r8 rows, computed
+# mechanically from CORRECTNESS_r01..r13 (latest-round histogram before
+# this rotation: r7:20, r8:46, r9:44, r11:46, r12:50, r13:50).  After
+# this round no sampled query's driver evidence is older than r8, and
+# the r15 rotation (the 20 remaining r8 rows + the 30 oldest r9 rows)
+# continues the drain.  Queries outside the sample are covered by the
+# local strict sweep (tools/verify_local.py).
 _SAMPLE_PRIORITY = [
-    # --- contract changed in r13 (bound-checked oracle) + stale r6 ---
-    "a03_approx_distinct",
-    # --- last sampled r6 (40 more) ---
-    "dd12_lsh_capped_pairs", "dd13_contamination_overlap",
-    "dd14_dedup_report", "dd15_cross_source_dup_matrix",
-    "dd17_bloom_decontaminate", "dd19_sorted_neighborhood",
-    "ev07_conversion_latency", "ev08_behavior_bitmask",
-    "ev09_path_trigrams", "ev11_activity_streaks",
-    "f02_timestamp_roundtrip", "f03_null_handling", "f04_string_funcs",
-    "f05_math", "f06_case_when", "f08_word_explode", "f09_date_arith",
-    "f15_array_set_ops", "f17_date_breadth", "fe02_label_centroids",
-    "gr01_pagerank", "h01_pricing_summary_full",
-    "h03_shipping_priority_topk", "h05_local_supplier_volume",
-    "ia02_incremental_join", "mm05_phash_groups",
-    "sim07_int8_quantized_topk", "sim08_random_projection_topk",
-    "sm05_per_source_cap", "sm06_temperature_mixing",
-    "sm07_quality_weighted_sampling", "st04_stream_dedup",
-    "st05_stream_static_enrich", "ta11_top_bigram_fraction",
-    "ta12_oov_rate", "ta13_packing_plan", "ta14_dup_ngram_mass",
-    "ta15_per_source_median_gate", "ta16_char_collision",
-    "w11_running_distinct",
-    # --- last sampled r7 (alphabetically first 9 of 29) ---
-    "as03_asof_forward", "d01_channel_names", "d02_channels_most_videos",
-    "d03_top10_viewed", "d05_most_liked_per_channel",
-    "d07_views_per_channel", "d08_channels_published_2022",
-    "d09_avg_duration_per_channel", "dq02_order_reconciliation",
+    # --- code changed in r14 (128-bit spill-leg keys) ---
+    "dd04_jaccard_pairs", "dd18_containment_pairs",
+    "dd21_lsh_band_eval", "dd22_jaccard_pairs_strict",
+    # --- last sampled r7 (all 20) ---
+    "dq03_vintage_drift", "ev10_rfm_segments", "ev12_dau_wau",
+    "ev13_cohort_ltv", "ev14_time_decay_scores", "fe03_quality_classifier",
+    "gr02_butterfly_count", "h17_small_qty_avg_yearly",
+    "h18_large_volume_topk", "ir02_bm25", "scd02_point_in_time",
+    "sim11_pq_topk", "sim12_ivfpq_topk", "sim13_pq_recall",
+    "sk03_countmin_heavy_hitters", "sm08_epoch_shuffle_manifest",
+    "sm09_dsir_affinity", "ta17_langid_confusion", "ta18_keywords",
+    "w12_pareto_curve",
+    # --- last sampled r8 (alphabetically first 26 of 46) ---
+    "a01_pricing_summary", "a11_corr_stats", "d04_comments_per_video",
+    "d06_likes_top10", "d10_top10_commented", "dq04_column_profile",
+    "ev01_funnel", "ev10a_rfm_segments_approx", "ev10b_rfm_agreement",
+    "f14_map_ops", "gr03_triangle_count", "gr04_kcore_peel",
+    "h08_market_share", "ia03_incremental_lsh_index", "j05_star_join",
+    "mg01_apply_changes", "mm02_decode_features", "mm03_frame_sample",
+    "mm04_modality_budget", "mm06_modality_packing",
+    "pd01_group_regression", "pd03_grouped_agg_udf", "pd04_map_in_arrow",
+    "q05_groupwise_max", "scd01_scd2_history", "ses01_gap_sessions",
 ]
 
 

@@ -111,6 +111,45 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def load_snapshot() -> dict:
+    """One environment sample, making bench interference attributable from
+    the artifact itself (r13 verdict item 2: BENCH_r13 read 22% over r12
+    with zero plan-affecting diffs, and the judge's own reps spread
+    9.97-18.72 s while a co-tenant process bursted).  Records the kernel
+    load averages, the runnable/total task counts from /proc/loadavg, and
+    a count of OTHER jvm/python/node processes on the box (our own JVM
+    child counts as 1 java — anything beyond the steady-state set means a
+    co-tenant was competing for the 32 cores).  Interpretation notes live
+    in BENCH_NOTES.md."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        snap["load1"], snap["load5"], snap["load15"] = (float(p) for p in parts[:3])
+        running, total = parts[3].split("/")
+        snap["runnable"] = int(running)
+        snap["tasks"] = int(total)
+    except (OSError, ValueError):
+        snap["loadavg_err"] = True
+    me = str(os.getpid())
+    counts: dict[str, int] = {}
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or pid == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    comm = fh.read().strip()
+            except OSError:
+                continue
+            if comm in ("java", "python", "python3", "node", "claude", "duckdb"):
+                counts[comm] = counts.get(comm, 0) + 1
+    except OSError:
+        pass
+    snap["co_procs"] = counts
+    return snap
+
+
 def prebuild_layouts(spark) -> dict[str, dict]:
     """Force-build every table's compacted layout before timing starts,
     reporting which ones actually rebuilt (vs. were already cached).
@@ -141,14 +180,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    env_before = load_snapshot()
     prebuild = prebuild_layouts(spark)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     warmup: dict[str, float] = {}
+    env: dict[str, list[dict]] = {}
     for name in HEADLINE:
         fn = queries[name]
         warmup[name] = round(run_query(spark, fn, SF_DIR), 4)  # JIT, footer cache
-        samples[name] = [round(run_query(spark, fn, SF_DIR), 4) for _ in range(5)]
+        samples[name] = []
+        env[name] = []
+        for _ in range(5):
+            samples[name].append(round(run_query(spark, fn, SF_DIR), 4))
+            env[name].append(load_snapshot())  # load DURING the rep (1-min EWMA)
         timings[name] = round(statistics.median(samples[name]), 4)
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -173,6 +218,9 @@ def main() -> None:
                 "warmup": warmup,
                 "prebuild": prebuild,
                 "extended": extended,
+                "env_before": env_before,
+                "env_after": load_snapshot(),
+                "env_per_rep": env,
             },
             fh,
             indent=1,

@@ -320,23 +320,32 @@ def test_containment_bounds_and_subset_detection(spark):
 
 
 def test_shingle_hash_distinctness_on_fixtures(spark):
-    """Corpus-wide invariant backing the r13 spill-leg ≥2-distinct-keys
-    filter (operators/dedup.py _overlap_candidates): the filter counts
-    DISTINCT xxhash64 keys per candidate pair, so its losslessness
-    additionally needs no two distinct shingles of the corpus to share a
-    hash.  |distinct shingles| == |distinct xxhash64(shingle)| proves
-    zero collisions corpus-wide in one linear aggregation — the same
-    check any production corpus can run before trusting the filter."""
+    """Canary for the spill-leg ≥2-distinct-keys filter (operators/
+    dedup.py _overlap_candidates): since r14 the filter decides
+    distinctness on a 128-bit dual-xxhash64 key, so losslessness needs
+    no two distinct shingles to collide on BOTH hashes.  |distinct
+    shingles| == |distinct (xxhash64(s), xxhash64('spill-k2', s))|
+    certifies zero such collisions corpus-wide in one linear
+    aggregation — the same check any production corpus can run; the
+    longdocs fixture build asserts it at Zipfian-vocabulary scale
+    (tools/make_longdocs.py).  The single-hash count is reported too:
+    it is ALLOWED to fall below n (a 64-bit collision no longer breaks
+    the filter), which is exactly why the key was widened."""
     docs = load(spark, SF_DIR, "documents")
     sh = D.shingle_rows(docs).select("shingle").distinct()
-    n_shingles, n_hashes = (
+    n_shingles, n_keys = (
         sh.agg(
             F.count("*").alias("s"),
-            F.count_distinct(F.xxhash64("shingle")).alias("h"),
+            F.count_distinct(
+                F.struct(
+                    F.xxhash64("shingle"),
+                    F.xxhash64(F.lit("spill-k2"), "shingle"),
+                )
+            ).alias("k"),
         )
         .collect()[0]
     )
-    assert n_shingles == n_hashes and n_shingles > 0
+    assert n_shingles == n_keys and n_shingles > 0
 
 
 def test_containment_prefix_filter_lossless(spark):

@@ -76,15 +76,29 @@ def test_stream_picks_up_new_pages(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
+    def settle(want_rows: int, deadline_sec: float = 120.0) -> list:
+        # processAllAvailable() drains what the source HAS ANNOUNCED, but
+        # under machine load (e.g. a co-running local[32] JVM) the
+        # trigger thread may not have polled latestOffset for the newest
+        # file yet when it returns — so await the expected row count
+        # with a bounded retry instead of asserting after one drain
+        # (r13 verdict item 5: one-shot form flaked under contention,
+        # passed isolated).  No-load case settles on the first pass.
+        deadline = time.monotonic() + deadline_sec
+        while True:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT endpoint, page_file FROM pages_out").collect()
+            if len(rows) >= want_rows or time.monotonic() > deadline:
+                return rows
+            time.sleep(0.5)
+
     try:
-        q.processAllAvailable()
-        n1 = spark.sql("SELECT COUNT(*) AS n FROM pages_out").collect()[0]["n"]
-        assert n1 == 1  # ch_A has one item
+        rows1 = settle(1)
+        assert len(rows1) == 1  # ch_A has one item
 
         with open(f"{root}/channels/ch_Z.json", "w") as fh:
             json.dump({"items": [{"id": "UC_Z1"}, {"id": "UC_Z2"}]}, fh)
-        q.processAllAvailable()
-        rows = spark.sql("SELECT endpoint, page_file FROM pages_out").collect()
+        rows = settle(3)
         assert len(rows) == 3  # 1 + the 2 new items, no re-delivery of ch_A
         assert {r["page_file"] for r in rows} == {"ch_A.json", "ch_Z.json"}
     finally:

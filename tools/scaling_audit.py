@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -194,6 +195,36 @@ def main() -> int:
 
     spark = get_spark("scaling-audit", cpus=8)
     queries = entrymod.queries()
+
+    if longdocs:
+        # Spill-key distinctness canary at the scale the spill legs
+        # actually target (ADVICE r13): the fixtures' pytest invariant
+        # runs on a 31-word vocabulary; here the Zipfian 50k-word corpus
+        # of the LARGEST selected tier certifies that no two distinct
+        # shingles collide on the 128-bit (dual-xxhash64) spill key the
+        # ≥2-distinct-keys filter counts (operators/dedup.py).  One
+        # linear aggregation; hard-fails the audit on any collision.
+        from pyspark.sql import functions as F
+
+        from youtube_data_lakehouse_and_analysis_spark.operators import dedup as D
+
+        top_dir, top_scale = sf_dirs[-1]
+        docs = spark.read.parquet(os.path.join(top_dir, "documents.parquet"))
+        sh = D.shingle_rows(docs).select("shingle").distinct()
+        n_sh, n_key = sh.agg(
+            F.count("*"),
+            F.count_distinct(
+                F.struct(F.xxhash64("shingle"), F.xxhash64(F.lit("spill-k2"), "shingle"))
+            ),
+        ).collect()[0]
+        print(
+            f"spill-key canary x{int(top_scale)}: {n_sh} distinct shingles, "
+            f"{n_key} distinct 128-bit keys",
+            file=sys.stderr,
+        )
+        if n_sh != n_key or n_sh == 0:
+            print("SPILL-KEY COLLISION: distinct shingles != distinct keys", file=sys.stderr)
+            return 1
 
     results = {}
     failures = []

@@ -241,7 +241,14 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     sharing ≥ 1 shingle whose true overlap ≥ the ``t`` column of its
     smaller side (callers derive t from their threshold; docs with t ≤ 1
     can qualify on a single shared shingle and take a direct
-    shingle-equality path instead).
+    shingle-equality path instead).  One qualification: the spill legs'
+    ≥2-distinct-keys filter decides shingle distinctness on a 128-bit
+    dual-xxhash64 key, so completeness there assumes no two distinct
+    shingles of one qualifying pair collide on BOTH hashes — ~2⁻¹²⁸ per
+    pair on non-adversarial text, and certifiable for a given corpus by
+    the linear distinct-shingle == distinct-key check the tests pin
+    (see the spill-leg comment below).  The combo and small legs carry
+    no such assumption (their collisions only add candidates).
 
     Combo-prefix argument: a pair with n_common ≥ t ≥ 2 shares its 2
     globally-smallest common shingles s₁ < s₂, and within EITHER member
@@ -281,8 +288,11 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
         # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
         # generated map-side with higher-order functions (no UDF), hashed
         # to 8-byte keys so the candidate join shuffles longs, not ~40-char
-        # shingle-pair strings.  Hash collisions only ADD candidates; the
-        # verify stage is exact, so the output is unaffected.  (Measured
+        # shingle-pair strings.  IN THIS COMBO LEG hash collisions only ADD
+        # candidates (any pair sharing one real combo still meets on that
+        # combo's key); the verify stage is exact, so the output is
+        # unaffected.  The spill legs below COUNT distinct keys, where a
+        # collision could subtract — they key on 128 bits instead.  (Measured
         # alternatives at sf1, both slower or broken: pre-hashing shingles
         # to a long array and pairing longs re-reads the second array
         # column for every outer element (+20%); shuffle_hash on the
@@ -369,25 +379,42 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     # DISTINCT shared keys ≥ 2 collapses that mass at a map-side partial
     # aggregate — the join volume itself is linear — while staying
     # lossless by the same two-rarest-common-shingles argument the combo
-    # leg rests on.  (Distinctness of the two keys assumes
-    # xxhash64(s₁) ≠ xxhash64(s₂) for two DISTINCT shingles of one
-    # qualifying pair — tests/test_llm_ops.py pins a corpus-wide
-    # distinct-shingle == distinct-hash invariant on the fixtures, and
-    # any corpus can assert the same linear check before trusting the
-    # filter.)  TWO joins cover every pair with ≥ 1 spill member without
+    # leg rests on.  Distinctness of the two keys is decided on a
+    # 128-BIT key (r14): two independently-derived xxhash64 columns per
+    # shingle, so dropping a true pair needs two distinct shingles to
+    # collide on BOTH hashes (~2⁻¹²⁸ per pair) — at 10¹⁰⁺ distinct
+    # shingles a single 64-bit key's birthday bound makes corpus-wide
+    # collisions expected, which the pre-r14 form could only rule out by
+    # asserting distinct-shingle == distinct-hash corpus-wide first.
+    # That linear invariant check survives as a CANARY
+    # (tests/test_llm_ops.py test_shingle_hash_distinctness_on_fixtures;
+    # longdocs fixture build asserts it on the 128-bit key at the
+    # Zipfian-vocabulary scale the legs actually target).  TWO joins
+    # cover every pair with ≥ 1 spill member without
     # re-deriving combo×combo: S1 = spill docs probe vs ALL t ≥ 2 docs
     # indexed (covers min-side-spill pairs); S2 = combo docs probe vs
     # spill docs indexed (covers min-side-combo, max-side-spill pairs).
     # Both legs keep the shared key through the pair projection so the
     # ≥ 2 count dedups across legs/directions (a spill–spill pair meets
     # S1 twice, once per probing direction, with the SAME key values).
-    # Shingles are hashed to 8-byte keys like the combo leg; on corpora
-    # where no doc overflows the cap both legs are empty scans.
+    # Shingles are hashed to a 16-byte (sh1, sh2) struct — 8 more
+    # bytes/row than the combo leg's 64-bit keys buys the collision
+    # margin above; on corpora where no doc overflows the cap both legs
+    # are empty scans.
     big2 = arr.filter(F.col("t") >= 2)
     if "ts" in arr.columns:
         idx1_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 2)
     else:
         idx1_upto = F.col("n")
+
+    def spill_key(s):
+        # 128-bit key: xxhash64(s) plus xxhash64 of s chained behind a
+        # domain literal (a different function of s — Spark's multi-arg
+        # xxhash64 folds each argument into the running state)
+        return F.struct(
+            F.xxhash64(s).alias("h1"),
+            F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
+        )
 
     def single_probe(side: DataFrame) -> DataFrame:
         return side.select(
@@ -395,7 +422,7 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
             F.explode(
                 F.transform(
                     F.slice("shingles", 1, F.col("n") - F.col("t") + 2),
-                    lambda s: F.xxhash64(s),
+                    spill_key,
                 )
             ).alias("sh1"),
         )
@@ -404,7 +431,7 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
         return side.select(
             F.col(id_col).alias("doc_i"),
             F.explode(
-                F.transform(F.slice("shingles", 1, idx1_upto), lambda s: F.xxhash64(s))
+                F.transform(F.slice("shingles", 1, idx1_upto), spill_key)
             ).alias("sh1"),
         )
 
@@ -427,7 +454,8 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     )
     spill_cand = (
         # ≥ 2 distinct keys ⟺ min(key) < max(key): one partial-agg pass,
-        # no per-group distinct set
+        # no per-group distinct set (struct min/max is lexicographic —
+        # equality-vs-not is all the filter needs)
         spill_hits.groupBy("doc_a", "doc_b")
         .agg(F.min("sh1").alias("k_lo"), F.max("sh1").alias("k_hi"))
         .filter(F.col("k_lo") != F.col("k_hi"))
