@@ -35,9 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanically from CORRECTNESS_r01..r13 (latest-round histogram before
 # this rotation: r7:20, r8:46, r9:44, r11:46, r12:50, r13:50).  After
 # this round no sampled query's driver evidence is older than r8, and
-# the r15 rotation (the 20 remaining r8 rows + the 30 oldest r9 rows)
-# continues the drain.  Queries outside the sample are covered by the
-# local strict sweep (tools/verify_local.py).
+# the r15 rotation continues the drain mechanically: the 20 remaining
+# r8 rows (sim01, sim09, sim10, sim14, sim15, sim16, sk01, sk02, sk04,
+# sm07a, sm07b, sm10, ta19, ta19a, ta19b, w01, w08a, w08b, w09, w13)
+# + the 30 alphabetically-first r9 rows (a02, a04-a08, as01, as02,
+# cdc01, dd06, dd10, dq01, ev02, ev04-ev06, f10-f13, fe01, ia01, ir01,
+# j07, q01-q06 incl. q05w) + any r15-changed queries; r16 takes the
+# last 14 r9 rows and whatever then remains oldest.  Queries outside
+# the sample are covered by the local strict sweep
+# (tools/verify_local.py).
 _SAMPLE_PRIORITY = [
     # --- code changed in r14 (128-bit spill-leg keys) ---
     "dd04_jaccard_pairs", "dd18_containment_pairs",

@@ -749,6 +749,14 @@ def test_dedup_candidate_joins_stay_sort_merge(spark):
     def counts(name):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
+        # every aggregate in the pipeline must stay hash-based: the r14
+        # struct-keyed form of the ≥2-distinct-keys spill filter fell
+        # into SortAggregate (struct agg buffers leave HashAggregate's
+        # fixed-width path), which sorts the quadratic spill-hits mass —
+        # measured OOMing the longdocs x32/τ=0.1 audit.  The shipped
+        # form aggregates component-wise longs precisely to stay here.
+        assert "SortAggregate" not in plan, name
+        assert "ObjectHashAggregate" not in plan, name
         assert len(re.findall(r"SortMergeJoin \[combo#", plan)) == 1, name
         # two spill legs: spill-probe vs all-t≥2 index, combo-probe vs
         # spill index

@@ -408,9 +408,16 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
         idx1_upto = F.col("n")
 
     def spill_key(s):
-        # 128-bit key: xxhash64(s) plus xxhash64 of s chained behind a
-        # domain literal (a different function of s — Spark's multi-arg
-        # xxhash64 folds each argument into the running state)
+        # 128-bit key as TWO PRIMITIVE LONG COLUMNS: xxhash64(s) plus
+        # xxhash64 of s chained behind a domain literal (a different
+        # function of s — Spark's multi-arg xxhash64 folds each argument
+        # into the running state).  Deliberately NOT a struct: min/max
+        # over a struct falls out of HashAggregate's fixed-width unsafe
+        # path into SortAggregate, which SORTS the entire spill-hits
+        # mass — measured OOMing the 8-thread/8g audit harness at
+        # longdocs x32/τ=0.1, the same sort-the-quadratic-intermediate
+        # death the verify join's SMJ alternative measured in r13.
+        # Component-wise longs keep the partial agg hash-based.
         return F.struct(
             F.xxhash64(s).alias("h1"),
             F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
@@ -424,28 +431,31 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
                     F.slice("shingles", 1, F.col("n") - F.col("t") + 2),
                     spill_key,
                 )
-            ).alias("sh1"),
-        )
+            ).alias("k"),
+        ).select("doc_p", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
 
     def single_index(side: DataFrame) -> DataFrame:
         return side.select(
             F.col(id_col).alias("doc_i"),
             F.explode(
                 F.transform(F.slice("shingles", 1, idx1_upto), spill_key)
-            ).alias("sh1"),
-        )
+            ).alias("k"),
+        ).select("doc_i", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
 
     def pair_up(probe_df: DataFrame, index_df: DataFrame) -> DataFrame:
         # same post-explode size-misestimate hazard as the combo join:
-        # force sort-merge, never broadcast an O(docs × shingles) side
+        # force sort-merge, never broadcast an O(docs × shingles) side.
+        # Joining on both longs (16-byte key) only TIGHTENS matching vs
+        # the single-hash join; a real shared shingle always matches.
         return (
             probe_df.hint("merge")
-            .join(index_df, "sh1")
+            .join(index_df, ["sh1", "sh2"])
             .filter(F.col("doc_p") != F.col("doc_i"))
             .select(
                 F.least("doc_p", "doc_i").alias("doc_a"),
                 F.greatest("doc_p", "doc_i").alias("doc_b"),
                 "sh1",
+                "sh2",
             )
         )
 
@@ -453,12 +463,18 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
         pair_up(single_probe(big), single_index(spill))
     )
     spill_cand = (
-        # ≥ 2 distinct keys ⟺ min(key) < max(key): one partial-agg pass,
-        # no per-group distinct set (struct min/max is lexicographic —
-        # equality-vs-not is all the filter needs)
+        # ≥ 2 distinct 128-bit keys ⟺ the group's rows are not all one
+        # (sh1, sh2) value ⟺ min ≠ max on AT LEAST ONE component: four
+        # primitive-long aggregates, one hash partial-agg pass, no
+        # per-group distinct set and no struct buffer (see spill_key)
         spill_hits.groupBy("doc_a", "doc_b")
-        .agg(F.min("sh1").alias("k_lo"), F.max("sh1").alias("k_hi"))
-        .filter(F.col("k_lo") != F.col("k_hi"))
+        .agg(
+            F.min("sh1").alias("k1_lo"),
+            F.max("sh1").alias("k1_hi"),
+            F.min("sh2").alias("k2_lo"),
+            F.max("sh2").alias("k2_hi"),
+        )
+        .filter((F.col("k1_lo") != F.col("k1_hi")) | (F.col("k2_lo") != F.col("k2_hi")))
         .select("doc_a", "doc_b")
     )
     return combo_cand.unionByName(small_cand).unionByName(spill_cand).distinct()
