@@ -49,13 +49,18 @@ def test_sm07a_rollup_partitioning_invariant(spark):
         for r in df.collect()
     )
     base = rows(sm07a_histogram_cdf_sampling(spark, SF_DIR))
+    # vary the AQE initial partition count too (r14 pins it at 256
+    # session-wide, and it takes precedence over shuffle.partitions)
     conf = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf)
+    init = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    old, old_init = spark.conf.get(conf), spark.conf.get(init)
     try:
         spark.conf.set(conf, "7")
+        spark.conf.set(init, "7")
         alt = rows(sm07a_histogram_cdf_sampling(spark, SF_DIR))
     finally:
         spark.conf.set(conf, old)
+        spark.conf.set(init, old_init)
     assert alt == base
 
 
@@ -71,10 +76,13 @@ def test_ev10a_scored_partitioning_invariant(spark):
     base = rows(_ev10a_scored(spark, SF_DIR))
     assert base
     conf = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf)
+    init = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    old, old_init = spark.conf.get(conf), spark.conf.get(init)
     try:
         spark.conf.set(conf, "5")
+        spark.conf.set(init, "5")
         alt = rows(_ev10a_scored(spark, SF_DIR))
     finally:
         spark.conf.set(conf, old)
+        spark.conf.set(init, old_init)
     assert alt == base

@@ -53,14 +53,23 @@ def _multiset(df):
 @pytest.mark.parametrize("name", SENSITIVE)
 def test_partition_count_invariance(spark, name):
     fn = entrymod.queries()[name]
+    # vary the AQE initial partition count too: since r14 the session
+    # pins initialPartitionNum=256, which takes precedence over
+    # shuffle.partitions for coalesced exchanges — without varying it
+    # the 3-vs-32 comparison would run 256-vs-256 and prove nothing
+    init = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_init = spark.conf.get(init)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(init, "32")
         wide = _multiset(fn(spark, SF_DIR))
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set(init, "3")
         narrow = _multiset(fn(spark, SF_DIR))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(init, prev_init)
     assert wide == narrow, (
         f"{name}: result depends on shuffle partition count — "
         "accumulation is not order-independent"

@@ -216,12 +216,19 @@ def _multiset(df):
 @pytest.mark.parametrize("name", _SENSITIVE)
 def test_unicode_partition_invariance(spark, unicode_dir, name):
     fn = entrymod.queries()[name]
+    # vary the AQE initial partition count too (r14 pins it at 256
+    # session-wide, and it takes precedence over shuffle.partitions)
+    init = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_init = spark.conf.get(init)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(init, "32")
         wide = _multiset(fn(spark, unicode_dir))
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set(init, "3")
         narrow = _multiset(fn(spark, unicode_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(init, prev_init)
     assert wide == narrow, f"{name}: unicode result depends on shuffle partition count"

@@ -1,11 +1,13 @@
 """Locate the Jaccard verify-regime knee between τ=0.02 and τ=0.3.
 
 The verify-join strategy boundary (operators/dedup.py
-STREAM_VERIFY_MIN_TAU = 0.3) was placed on the lowest MEASURED-linear
-threshold: dd22 (τ=0.5) and dd18 (containment τ=0.3) measured
-near-linear through the longdocs doublings, while dd04 (τ=0.02)
-measured quadratic — with nothing measured in between (r13 verdict
-item 3).  This tool runs the dd04-shaped ``jaccard_pairs`` at
+STREAM_VERIFY_MIN_TAU) was originally placed at 0.3, the lowest
+MEASURED-linear threshold: dd22 (τ=0.5) and dd18 (containment τ=0.3)
+measured near-linear through the longdocs doublings, while dd04
+(τ=0.02) measured quadratic — with nothing measured in between (r13
+verdict item 3).  This tool's r14 measurements located the knee (see
+SCALE.md "The τ knee") and the boundary now sits at 0.2.  It runs the
+dd04-shaped ``jaccard_pairs`` at
 intermediate thresholds over the longdocs tiers and records, per
 (τ, tier):
 
@@ -77,13 +79,17 @@ def main() -> int:
     )
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
-    spark = get_spark("tau-knee", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
-
     results: dict[str, dict] = {}
     for tau in taus:
         rows = []
         for d, scale in tiers:
+            # FRESH SESSION per (τ, tier): localCheckpoint blocks from
+            # earlier measurements survive in the block manager until
+            # their RDDs are GC'd, and an 8-measurement-old session
+            # OOM'd at a (τ, tier) the same code completes fresh —
+            # measurement isolation beats a 6 s restart.
+            spark = get_spark("tau-knee", cpus=8)
+            spark.sparkContext.setLogLevel("ERROR")
             docs = spark.read.parquet(f"{d}/documents.parquet")
             # candidate count: rebuild the exact jaccard_pairs fragments
             # (same t/ts math) and count the candidate set pre-verify
@@ -107,6 +113,7 @@ def main() -> int:
                 f"wall={best:.1f}s",
                 file=sys.stderr,
             )
+            spark.stop()
 
         def exp(a: float, b: float, sa: float, sb: float) -> float | None:
             if a <= 0 or b <= 0:

@@ -480,13 +480,24 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     return combo_cand.unionByName(small_cand).unionByName(spill_cand).distinct()
 
 
-# Verify-join strategy boundary (r13): thresholds at or above this
-# stream (shuffled-hash verify, scales with the corpus); below it the
-# arrays are broadcast (the loose-τ verify contract, bounded by memory).
-# 0.3 is the lowest MEASURED-linear threshold (dd18's containment τ;
-# dd22's Jaccard τ=0.5 likewise) — the boundary is deliberately placed
-# on evidence, not extrapolation.
-STREAM_VERIFY_MIN_TAU = 0.3
+# Verify-join strategy boundary: thresholds at or above this stream
+# (shuffled-hash verify, scales with the corpus); below it the arrays
+# are broadcast (the loose-τ verify contract, bounded by memory).  r13
+# placed it at 0.3 — the lowest threshold anyone had MEASURED linear.
+# r14 located the actual knee (tools/tau_knee.py, longdocs x8→x32,
+# SCALE.md "The τ knee"): candidate volume is linear at τ=0.2
+# (242/486/991, exponents 1.01/1.03, candidates ≈ true pairs within
+# 3%), BENDS at τ=0.15 (245/553/1693 — exponent 1.17 then 1.61 and
+# climbing, candidate excess over true pairs 5→73→733), and is
+# quadratic by τ=0.1 (590/2783/12655, exponents 2.24/2.18 against
+# exactly-linear true output).  The knee is AT ≈0.15 on this corpus
+# shape; 0.2 is the measured-linear side immediately above it, so the
+# boundary streams everything the data says scales and nothing the
+# data says bends.  A mid-τ job below 0.2 lands on the broadcast side
+# by design: its candidate volume grows superlinearly and only the
+# bounded-broadcast verify contract survives that regime (see
+# _verified_overlaps).
+STREAM_VERIFY_MIN_TAU = 0.2
 
 
 def _verified_overlaps(

@@ -31,6 +31,20 @@ def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Adopted r14 (SCALE.md "partition knee", tools/ab_partitions.py):
+        # shuffles START at 256 partitions and AQE coalesces back toward
+        # core-count parallelism (parallelismFirst stays default true).
+        # Measured: frozen headline at sf0.1 10.53 -> 9.50 s (5
+        # interleaved reps/query, quiet box) — the shuffle-heavy queries
+        # win (j05 1.25->0.96, q09 1.18->0.96) — and the longdocs x64
+        # exploded stages ~2x (259 -> 139/111 s, r13).  On a real
+        # cluster a high initial count + AQE coalesce is standard
+        # posture; the size-only variant (parallelismFirst=false)
+        # measured 12.65 s at sf0.1 and is deliberately NOT used.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
