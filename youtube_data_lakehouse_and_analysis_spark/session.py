@@ -32,23 +32,43 @@ def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Adopted r14 (SCALE.md "partition knee", tools/ab_partitions.py):
-        # shuffles START at 256 partitions and AQE coalesces back toward
-        # core-count parallelism (parallelismFirst stays default true).
-        # Measured: frozen headline at sf0.1 10.53 -> 9.50 s (5
-        # interleaved reps/query, quiet box) — the shuffle-heavy queries
-        # win (j05 1.25->0.96, q09 1.18->0.96) — and the longdocs x64
-        # exploded stages ~2x (259 -> 139/111 s, r13).  On a real
-        # cluster a high initial count + AQE coalesce is standard
-        # posture; the size-only variant (parallelismFirst=false)
-        # measured 12.65 s at sf0.1 and is deliberately NOT used.
+        # shuffles START at 8× the session's core count and AQE
+        # coalesces back (parallelismFirst stays default true).
+        # Measured on the 32-core bench session (init=256): frozen
+        # headline at sf0.1 10.53 -> 9.50 s (5 interleaved reps/query,
+        # quiet box) — the shuffle-heavy queries win (j05 1.25->0.96,
+        # q09 1.18->0.96).  The multiplier SCALES WITH PARALLELISM
+        # rather than being a flat 256 because a flat 256 on the
+        # 8-thread audit session measurably hurt the longdocs tiers
+        # (dd22 x64 121.6 -> 273.8 s) and OOM'd dd18's audit — 32
+        # tasks per core of fine partitions is overhead-dominated
+        # there, while 8 per core keeps both regimes healthy.  On a
+        # real cluster the same rule (initial ≈ 8× total cores, AQE
+        # coalesces the small stages) is standard posture; the
+        # size-only variant (parallelismFirst=false) measured 12.65 s
+        # at sf0.1 and is deliberately NOT used.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(8 * cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # JDK-17 G1 GCLocker starvation mitigation (r14): the longdocs
+        # dedup tiers repeatedly died with "Retried waiting for GCLocker
+        # too often" spurious OutOfMemoryErrors — an allocation giving up
+        # after the DEFAULT TWO retries while JNI critical sections
+        # (parquet/compression) hold the GCLocker under high array-churn
+        # load, NOT actual heap exhaustion (the same measurements pass
+        # with identical heap on a quiet re-run).  Raising the retry
+        # count is the documented mitigation; in local mode the driver
+        # JVM is the executor, and a cluster deployment should carry the
+        # same flags in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
