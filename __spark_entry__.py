@@ -26,47 +26,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver correctness gate samples the FIRST 50 entries of queries()
-# in dict order.  Round 14 front-loads (a) the four pair-machinery
-# queries whose code changed this round — the spill-leg AllPairs filter
-# now keys on a 128-bit (dual-seeded xxhash64) pair instead of a single
-# 64-bit hash, touching dd04/dd18/dd22 directly and dd21 via
-# jaccard_truth_pairs — then (b) the 20 queries whose latest driver row
-# is r7 and (c) the 26 alphabetically-first of the 46 r8 rows, computed
-# mechanically from CORRECTNESS_r01..r13 (latest-round histogram before
-# this rotation: r7:20, r8:46, r9:44, r11:46, r12:50, r13:50).  After
-# this round no sampled query's driver evidence is older than r8, and
-# the r15 rotation continues the drain mechanically: the 20 remaining
-# r8 rows (sim01, sim09, sim10, sim14, sim15, sim16, sk01, sk02, sk04,
-# sm07a, sm07b, sm10, ta19, ta19a, ta19b, w01, w08a, w08b, w09, w13)
-# + the 30 alphabetically-first r9 rows (a02, a04-a08, as01, as02,
-# cdc01, dd06, dd10, dq01, ev02, ev04-ev06, f10-f13, fe01, ia01, ir01,
-# j07, q01-q06 incl. q05w) + any r15-changed queries; r16 takes the
-# last 14 r9 rows and whatever then remains oldest.  Queries outside
+# in dict order.  Round 15 continues the evidence drain prescribed in
+# r13/r14 and recomputed mechanically from CORRECTNESS_r01..r14
+# (latest-round histogram before this rotation: r8:20, r9:44, r11:46,
+# r12:46, r13:50, r14:50).  Front-loaded: (a) the four pair-machinery
+# queries — r15 factors the jaccard t/ts bound derivation out of
+# jaccard_pairs into a shared helper (also used by tools/tau_knee.py),
+# touching dd04/dd18/dd22 directly and dd21 via jaccard_truth_pairs —
+# then (b) all 20 remaining r8 rows and (c) the 26 alphabetically-first
+# of the 44 r9 rows.  After this round no sampled query's driver
+# evidence is older than r9; r16 takes the remaining 18 r9 rows
+# (q03, q04, q05w, q06, q07-q11, rj01, sim04, sj01, sm01, sm04, ta09,
+# ta10, u01, w06) and whatever then remains oldest.  Queries outside
 # the sample are covered by the local strict sweep
 # (tools/verify_local.py).
 _SAMPLE_PRIORITY = [
-    # --- code changed in r14 (128-bit spill-leg keys) ---
+    # --- code changed in r15 (shared jaccard bound derivation) ---
     "dd04_jaccard_pairs", "dd18_containment_pairs",
     "dd21_lsh_band_eval", "dd22_jaccard_pairs_strict",
-    # --- last sampled r7 (all 20) ---
-    "dq03_vintage_drift", "ev10_rfm_segments", "ev12_dau_wau",
-    "ev13_cohort_ltv", "ev14_time_decay_scores", "fe03_quality_classifier",
-    "gr02_butterfly_count", "h17_small_qty_avg_yearly",
-    "h18_large_volume_topk", "ir02_bm25", "scd02_point_in_time",
-    "sim11_pq_topk", "sim12_ivfpq_topk", "sim13_pq_recall",
-    "sk03_countmin_heavy_hitters", "sm08_epoch_shuffle_manifest",
-    "sm09_dsir_affinity", "ta17_langid_confusion", "ta18_keywords",
-    "w12_pareto_curve",
-    # --- last sampled r8 (alphabetically first 26 of 46) ---
-    "a01_pricing_summary", "a11_corr_stats", "d04_comments_per_video",
-    "d06_likes_top10", "d10_top10_commented", "dq04_column_profile",
-    "ev01_funnel", "ev10a_rfm_segments_approx", "ev10b_rfm_agreement",
-    "f14_map_ops", "gr03_triangle_count", "gr04_kcore_peel",
-    "h08_market_share", "ia03_incremental_lsh_index", "j05_star_join",
-    "mg01_apply_changes", "mm02_decode_features", "mm03_frame_sample",
-    "mm04_modality_budget", "mm06_modality_packing",
-    "pd01_group_regression", "pd03_grouped_agg_udf", "pd04_map_in_arrow",
-    "q05_groupwise_max", "scd01_scd2_history", "ses01_gap_sessions",
+    # --- last sampled r8 (all 20) ---
+    "sim01_bruteforce_topk", "sim09_ann_recall", "sim10_multiprobe_recall",
+    "sim14_index_balance", "sim15_margin_knn", "sim16_hard_negatives",
+    "sk01_hll_from_scratch", "sk02_kmv_set_ops", "sk04_theta_a_not_b",
+    "sm07a_histogram_cdf_sampling", "sm07b_cdf_ntile_agreement",
+    "sm10_length_bucketed_batches", "ta19_lm_quality_gate",
+    "ta19a_lm_gate_histogram", "ta19b_lm_gate_agreement",
+    "w01_topk_per_group", "w08a_global_price_quartile",
+    "w08b_global_quartile_agreement", "w09_sliding_median",
+    "w13_gini_concentration",
+    # --- last sampled r9 (alphabetically first 26 of 44) ---
+    "a02_count_distinct", "a04_rollup", "a05_cube", "a06_having",
+    "a07_minmax_stats", "a08_grouping_sets", "as01_asof_join",
+    "as02_asof_tolerance", "cdc01_snapshot_diff", "dd06_embedding_near_dup",
+    "dd10_decontaminate", "dq01_expectations", "ev02_retention_cohorts",
+    "ev04_last_touch", "ev05_timed_conversion", "ev06_transition_matrix",
+    "f10_fill_with_first", "f11_percentiles", "f12_array_agg_sorted",
+    "f13_higher_order", "fe01_feature_hashing", "ia01_incremental_agg",
+    "ir01_keyword_topk", "j07_like_dim_join", "q01_project_filter",
+    "q02_sort_desc",
 ]
 
 

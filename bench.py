@@ -111,6 +111,37 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def cpu_sample() -> dict[str, int] | None:
+    """Cumulative guest CPU jiffies from /proc/stat.  The r15 autopsy of
+    the q01/ta01 'creep' found the box's wall times swinging 0.18→0.95 s
+    (q01) / 0.5→4.0 s (ta01) on identical code and conf while loadavg
+    stayed ≈1 and co_procs constant — but /proc/stat showed 6-14% STEAL
+    with only ~2.5% busy: host-side co-tenancy that the r14 sampler
+    (loadavg + process counts) is structurally blind to.  Differencing
+    these counters across a rep yields the per-rep steal share, making
+    that failure mode attributable from the artifact."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        v = [int(x) for x in f[1:9]]  # user nice sys idle iowait irq softirq steal
+        return {
+            "busy": v[0] + v[1] + v[2] + v[5] + v[6],
+            "idle": v[3],
+            "iowait": v[4],
+            "steal": v[7],
+        }
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def cpu_delta_pct(c0: dict | None, c1: dict | None) -> dict[str, float]:
+    if not c0 or not c1:
+        return {}
+    d = {k: c1[k] - c0[k] for k in c0}
+    tot = sum(d.values()) or 1
+    return {f"{k}_pct": round(100.0 * d[k] / tot, 2) for k in ("busy", "steal", "iowait")}
+
+
 def load_snapshot() -> dict:
     """One environment sample, making bench interference attributable from
     the artifact itself (r13 verdict item 2: BENCH_r13 read 22% over r12
@@ -192,8 +223,11 @@ def main() -> None:
         samples[name] = []
         env[name] = []
         for _ in range(5):
+            c0 = cpu_sample()
             samples[name].append(round(run_query(spark, fn, SF_DIR), 4))
-            env[name].append(load_snapshot())  # load DURING the rep (1-min EWMA)
+            snap = load_snapshot()  # load DURING the rep (1-min EWMA)
+            snap.update(cpu_delta_pct(c0, cpu_sample()))  # per-rep steal/busy
+            env[name].append(snap)
         timings[name] = round(statistics.median(samples[name]), 4)
     extended: dict[str, float] = {}
     for name in EXTENDED:

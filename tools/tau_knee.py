@@ -38,10 +38,11 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -68,14 +69,12 @@ def main() -> int:
         print("need >= 2 tiers to fit an exponent", file=sys.stderr)
         return 2
 
-    from pyspark.sql import functions as F
-
     from youtube_data_lakehouse_and_analysis_spark.operators import dedup as D
     from youtube_data_lakehouse_and_analysis_spark.operators.dedup import (
-        _T_SLACK,
         _doc_arrays,
         _overlap_candidates,
         checkpoint,
+        jaccard_overlap_bounds,
     )
     from youtube_data_lakehouse_and_analysis_spark.session import get_spark
 
@@ -92,14 +91,10 @@ def main() -> int:
             spark.sparkContext.setLogLevel("ERROR")
             docs = spark.read.parquet(f"{d}/documents.parquet")
             # candidate count: rebuild the exact jaccard_pairs fragments
-            # (same t/ts math) and count the candidate set pre-verify
+            # via the SHARED bound derivation (jaccard_overlap_bounds)
+            # so this counts exactly the shipped candidate set
             sh = D.shingle_rows(docs)
-            frac = 2.0 * tau / (1.0 + tau)
-            arr = checkpoint(
-                _doc_arrays(sh, "doc_id")
-                .withColumn("t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
-                .withColumn("ts", F.ceil(F.lit(tau) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
-            )
+            arr = checkpoint(jaccard_overlap_bounds(_doc_arrays(sh, "doc_id"), tau))
             n_cand = _overlap_candidates(sh, arr, "doc_id").count()
             # wall + true output with the shipped strategy selection
             best, n_pairs = math.inf, None

@@ -570,6 +570,33 @@ def _verified_overlaps(
 _T_SLACK = 1e-9
 
 
+def attach_overlap_bounds(arr: DataFrame, t_frac: float, ts_frac: float) -> DataFrame:
+    """Attach the prefix-filter overlap bounds to a ``_doc_arrays``
+    frame: ``t`` = ceil(t_frac·n − slack) (the overlap a partner must
+    share when THIS doc is the smaller side) and ``ts`` =
+    ceil(ts_frac·n − slack) (the symmetric index-side bound, r12).
+
+    Single source of truth for the t/ts column derivation — used by
+    ``jaccard_pairs``/``jaccard_truth_pairs`` AND by tools/tau_knee.py,
+    so the knee tool counts exactly the candidate set the shipped
+    pipeline generates (a drifted re-derivation there would silently
+    measure a different candidate volume while labeling it shipped)."""
+    return (
+        arr.withColumn(
+            "t", F.ceil(F.lit(float(t_frac)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        ).withColumn(
+            "ts", F.ceil(F.lit(float(ts_frac)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        )
+    )
+
+
+def jaccard_overlap_bounds(arr: DataFrame, threshold: float) -> DataFrame:
+    """Bounds implied by Jaccard ≥ τ: t_frac = 2τ/(1+τ) (min-side,
+    lossless — see jaccard_pairs docstring), ts_frac = τ (symmetric)."""
+    tau = float(threshold)
+    return attach_overlap_bounds(arr, 2.0 * tau / (1.0 + tau), tau)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -589,14 +616,7 @@ def jaccard_pairs(
     ceil(τ·n) is attached as the index-side prefix bound (r12), keeping
     long docs on the combo path instead of the single-shingle fallback."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    frac = 2.0 * float(threshold) / (1.0 + float(threshold))
-    arr = checkpoint(
-        _doc_arrays(sh, id_col)
-        .withColumn("t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
-        .withColumn(
-            "ts", F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
-        )
-    )
+    arr = checkpoint(jaccard_overlap_bounds(_doc_arrays(sh, id_col), threshold))
     return (
         _verified_overlaps(
             _overlap_candidates(sh, arr, id_col),
@@ -632,13 +652,11 @@ def jaccard_truth_pairs(
     n_a+n_b−c ≥ max, so j_den·c ≥ j_num·max ⇒ c ≥ j_num/j_den·max, and
     ``ts`` = ceil(j_num/j_den·n) prunes the index-side combos."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    frac = 2.0 * j_num / (j_num + j_den)
+    # Rational fracs computed exactly as before the r15 factoring:
+    # 2·j_num/(j_num+j_den) and j_num/j_den (NOT re-derived through a
+    # float τ, which could differ in the last ulp).
     arr = checkpoint(
-        _doc_arrays(sh, id_col)
-        .withColumn("t", F.ceil(F.lit(frac) * F.col("n") - F.lit(_T_SLACK)).cast("int"))
-        .withColumn(
-            "ts", F.ceil(F.lit(j_num / j_den) * F.col("n") - F.lit(_T_SLACK)).cast("int")
-        )
+        attach_overlap_bounds(_doc_arrays(sh, id_col), 2.0 * j_num / (j_num + j_den), j_num / j_den)
     )
     return _verified_overlaps(
         _overlap_candidates(sh, arr, id_col),

@@ -62,11 +62,17 @@ def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None
         # (parquet/compression) hold the GCLocker under high array-churn
         # load, NOT actual heap exhaustion (the same measurements pass
         # with identical heap on a quiet re-run).  Raising the retry
-        # count is the documented mitigation; in local mode the driver
-        # JVM is the executor, and a cluster deployment should carry the
-        # same flags in spark.executor.extraJavaOptions.
+        # count is the documented mitigation.  Set on BOTH driver and
+        # executor: in local mode the driver JVM is the executor (the
+        # executor conf is a no-op), and on a real cluster the array
+        # churn happens in executor JVMs, so the executor conf is the
+        # one that matters.
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
             "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
         )
         .config("spark.ui.enabled", "false")
