@@ -11,6 +11,7 @@ import pathlib
 import shutil
 
 import pyarrow.compute as pc
+import pytest
 import pyarrow.parquet as pq
 
 from tools.skew_audit import HOT_FRAC, _SKEWED_KEYS, build_skew
@@ -83,7 +84,7 @@ def test_longdocs_genscheme_marker(tmp_path, monkeypatch):
     x1, x2 = (pathlib.Path(d) for d, _ in tiers)
     for d in (x1, x2):
         assert (d / "documents.parquet").exists()
-        assert (d / m._MARKER).read_text().strip() == m.GEN_SCHEME
+        assert (d / m._MARKER).read_text().strip() == m._scheme("longdocs")
 
     # cache hit: nothing rewritten
     stamps = {d: os.stat(d / "documents.parquet").st_mtime_ns for d in (x1, x2)}
@@ -93,7 +94,7 @@ def test_longdocs_genscheme_marker(tmp_path, monkeypatch):
     # stale marker on ONE tier -> ALL tiers regenerate, markers restored
     (x1 / m._MARKER).write_text("perdoc-v0:stale\n")
     m.ensure_longdocs(str(out))
-    assert (x1 / m._MARKER).read_text().strip() == m.GEN_SCHEME
+    assert (x1 / m._MARKER).read_text().strip() == m._scheme("longdocs")
     new_stamps = {d: os.stat(d / "documents.parquet").st_mtime_ns for d in (x1, x2)}
     assert new_stamps[x1] != stamps[x1] and new_stamps[x2] != stamps[x2]
 
@@ -104,3 +105,42 @@ def test_longdocs_genscheme_marker(tmp_path, monkeypatch):
     t1 = pq.read_table(x1 / "documents.parquet")
     t2 = pq.read_table(x2 / "documents.parquet")
     assert t2.slice(0, t1.num_rows).equals(t1)
+
+
+def test_corpus_shapes_are_distinct_and_nested(tmp_path, monkeypatch):
+    """ensure_docs (r15): named corpus shapes generate from disjoint
+    per-shape seeds/parameters (shortdocs must exercise a genuinely
+    different df-distribution than longdocs — shorter docs, flatter
+    vocabulary), each shape carries its own marker, and tier nesting
+    holds within a shape."""
+    import numpy as np
+
+    import tools.make_longdocs as m
+
+    monkeypatch.setattr(m, "TIERS", (1, 2))
+    monkeypatch.setattr(m, "_BASE_DOCS", 64)
+    long_tiers = m.ensure_docs("longdocs", str(tmp_path / "longdocs"))
+    short_tiers = m.ensure_docs("shortdocs", str(tmp_path / "shortdocs"))
+
+    lt = pq.read_table(pathlib.Path(long_tiers[0][0]) / "documents.parquet")
+    st = pq.read_table(pathlib.Path(short_tiers[0][0]) / "documents.parquet")
+    assert lt.num_rows == st.num_rows == 64
+    l_texts, s_texts = lt.column("text").to_pylist(), st.column("text").to_pylist()
+    assert l_texts != s_texts  # disjoint seeds -> different corpora
+    # shortdocs median length well under longdocs median
+    l_med = np.median([len(t.split()) for t in l_texts])
+    s_med = np.median([len(t.split()) for t in s_texts])
+    assert s_med < l_med / 2
+    # per-shape markers differ and match their scheme strings
+    l_marker = (pathlib.Path(long_tiers[0][0]) / m._MARKER).read_text().strip()
+    s_marker = (pathlib.Path(short_tiers[0][0]) / m._MARKER).read_text().strip()
+    # _scheme() is dynamic (it folds the monkeypatched _BASE_DOCS into the
+    # marker — a changed base regenerates, which is the point); the
+    # module-level GEN_SCHEME export reflects the unpatched defaults.
+    assert l_marker == m._scheme("longdocs")
+    assert s_marker == m._scheme("shortdocs") != l_marker
+    # nesting holds within the shortdocs shape
+    s2 = pq.read_table(pathlib.Path(short_tiers[1][0]) / "documents.parquet")
+    assert s2.slice(0, st.num_rows).equals(st)
+    with pytest.raises(KeyError):
+        m.ensure_docs("nosuchshape", str(tmp_path / "x"))

@@ -27,11 +27,15 @@ happened to measure.
 
 Usage:
   python tools/tau_knee.py [--taus 0.1,0.2] [--min-tier 8] [--max-tier 32]
-                           [--reps 1] [--json]
+                           [--reps 1] [--shape longdocs|shortdocs] [--json]
 
 Defaults: τ ∈ {0.1, 0.2, 0.3}, tiers x8..x32, 1 rep (min of reps when
->1).  Deliberately expensive at low τ — budget with the flags and say
-so where results are recorded (same convention as scaling_audit).
+>1), shape longdocs.  ``--shape shortdocs`` re-runs the sweep on the
+opposite df-distribution (short docs, flat vocabulary — r15, checking
+the knee is a property of the prefix-filter math rather than of one
+corpus shape).  Deliberately expensive at low τ — budget with the
+flags and say so where results are recorded (same convention as
+scaling_audit).
 """
 
 from __future__ import annotations
@@ -60,11 +64,12 @@ def main() -> int:
     min_tier = float(flag("--min-tier", "8"))
     max_tier = float(flag("--max-tier", "32"))
     reps = int(flag("--reps", "1"))
+    shape = flag("--shape", "longdocs")
     emit_json = "--json" in argv
 
-    from tools.make_longdocs import ensure_longdocs
+    from tools.make_longdocs import ensure_docs
 
-    tiers = [(d, s) for d, s in ensure_longdocs() if min_tier <= s <= max_tier]
+    tiers = [(d, s) for d, s in ensure_docs(shape) if min_tier <= s <= max_tier]
     if len(tiers) < 2:
         print("need >= 2 tiers to fit an exponent", file=sys.stderr)
         return 2

@@ -497,6 +497,16 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
 # by design: its candidate volume grows superlinearly and only the
 # bounded-broadcast verify contract survives that regime (see
 # _verified_overlaps).
+#
+# Shape robustness (r15, SCALE.md "The τ knee on a second corpus
+# shape"): the same sweep on the OPPOSITE df-distribution (shortdocs —
+# median 60 tokens, flat Zipf(0.7) over a 10k vocabulary) measures
+# candidates ≡ true pairs (exponent 1.00) at every τ ∈ {0.05, 0.1,
+# 0.15, 0.2, 0.3}, with the first excess appearing only at τ=0.02
+# (244/501/1102 vs 240/480/964 true — top exponent 1.14).  The knee
+# MOVES DOWN as the vocabulary flattens (boilerplate shingles are what
+# leak through loose prefixes), so 0.2 sits above the knee on every
+# measured shape and the longdocs placement is the conservative one.
 STREAM_VERIFY_MIN_TAU = 0.2
 
 
