@@ -144,3 +144,41 @@ def test_corpus_shapes_are_distinct_and_nested(tmp_path, monkeypatch):
     assert s2.slice(0, st.num_rows).equals(st)
     with pytest.raises(KeyError):
         m.ensure_docs("nosuchshape", str(tmp_path / "x"))
+
+
+def test_vector_tiers_nested_and_schema(tmp_path, monkeypatch):
+    """ensure_vectors (r15): tier nesting holds, the marker protocol
+    regenerates on parameter change, planted dups land where the scheme
+    says, and the schema matches the shipped embeddings table exactly
+    (so catalog.load(tier_dir, 'embeddings') feeds every sim* query)."""
+    import numpy as np
+
+    import tools.make_vectors as mv
+
+    monkeypatch.setattr(mv, "TIERS", (1, 2))
+    monkeypatch.setattr(mv, "_BASE_VECS", 128)
+    tiers = mv.ensure_vectors(str(tmp_path / "vectors"))
+    t1 = pq.read_table(pathlib.Path(tiers[0][0]) / "embeddings.parquet")
+    t2 = pq.read_table(pathlib.Path(tiers[1][0]) / "embeddings.parquet")
+    assert t1.num_rows == 128 and t2.num_rows == 256
+    assert t2.slice(0, 128).equals(t1)  # nesting
+    assert [f.name for f in t1.schema] == ["vec_id", "embedding", "label"]
+    assert str(t1.schema.field("embedding").type) == "list<element: float>"
+    assert str(t1.schema.field("label").type) == "int32"
+    emb = np.array(t2.column("embedding").to_pylist(), dtype=np.float32)
+    labs = t2.column("label").to_numpy()
+    # exact dup: i % 100 == 99 copies i-30 (vector AND label)
+    assert np.array_equal(emb[199], emb[169]) and labs[199] == labs[169]
+    # near dup: i % 50 == 25 is a tiny perturbation of i-20, same label
+    d_near = float(np.abs(emb[225] - emb[205]).max())
+    assert 0 < d_near < 0.2 and labs[225] == labs[205]
+    # stale marker regenerates
+    marker = pathlib.Path(tiers[0][0]) / mv._MARKER
+    assert marker.read_text().strip() == mv._scheme()
+    marker.write_text("pervec-v0:stale\n")
+    import os
+
+    stamp = os.stat(pathlib.Path(tiers[1][0]) / "embeddings.parquet").st_mtime_ns
+    mv.ensure_vectors(str(tmp_path / "vectors"))
+    assert marker.read_text().strip() == mv._scheme()
+    assert os.stat(pathlib.Path(tiers[1][0]) / "embeddings.parquet").st_mtime_ns != stamp
