@@ -167,7 +167,17 @@ def near_dup_pairs(
     inside a cell, turning the O(n²) all-pairs scan into Σ|cell|²; cells
     shuffle-partition independently, so 100 TB of vectors dedups as long
     as single cells fit a partition (else: re-cluster finer or sub-block
-    with LSH inside the cell)."""
+    with LSH inside the cell).
+
+    Sub-blocking, measured (r15, tools/semdedup_audit.py + SCALE.md
+    "SemDeDup blocking"): fixed cells are exactly quadratic in
+    candidates (exponent 1.998 over the vector tiers); sub-blocking by
+    LSH of the RAW vector is measured-rejected (origin-anchored planes
+    barely split a dense cell — exponent 1.67); sub-blocking by LSH of
+    the RESIDUAL v − cell_mean (integer means, the sim12 recipe) with
+    the plane count growing log2(n/cells/target) measures exponent
+    0.999 at planted-pair recall 0.97.  Callers needing bounded cells
+    should pass that composite key as `cell_col`."""
     base = emb.select(
         F.col(cell_col).alias("_cell"), F.col(id_col), quantize(vec_col).alias("qv")
     ).withColumn("nsq", int_norm_sq(F.col("qv")))
