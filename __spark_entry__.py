@@ -33,15 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries — r15 factors the jaccard t/ts bound derivation out of
 # jaccard_pairs into a shared helper (also used by tools/tau_knee.py),
 # touching dd04/dd18/dd22 directly and dd21 via jaccard_truth_pairs —
-# then (b) all 20 remaining r8 rows and (c) the 26 alphabetically-first
-# of the 44 r9 rows.  After this round no sampled query's driver
-# evidence is older than r9; r16 takes the remaining 18 r9 rows
-# (q03, q04, q05w, q06, q07-q11, rj01, sim04, sj01, sm01, sm04, ta09,
-# ta10, u01, w06) and whatever then remains oldest.  Queries outside
-# the sample are covered by the local strict sweep
+# plus the NEW dd23 (residual-LSH blocked near-dup) — then (b) all 20
+# remaining r8 rows and (c) the 25 alphabetically-first of the 44 r9
+# rows.  After this round no sampled query's driver
+# evidence is older than r9; r16 takes the remaining 19 r9 rows
+# (q02, q03, q04, q05w, q06, q07-q11, rj01, sim04, sj01, sm01, sm04,
+# ta09, ta10, u01, w06) and whatever then remains oldest.  Queries
+# outside the sample are covered by the local strict sweep
 # (tools/verify_local.py).
 _SAMPLE_PRIORITY = [
-    # --- code changed in r15 (shared jaccard bound derivation) ---
+    # --- new in r15 (residual-LSH blocked near-dup, SCALE.md
+    # "SemDeDup blocking") + code changed in r15 (shared jaccard
+    # bound derivation) ---
+    "dd23_residual_blocked_near_dup",
     "dd04_jaccard_pairs", "dd18_containment_pairs",
     "dd21_lsh_band_eval", "dd22_jaccard_pairs_strict",
     # --- last sampled r8 (all 20) ---
@@ -63,7 +67,6 @@ _SAMPLE_PRIORITY = [
     "f10_fill_with_first", "f11_percentiles", "f12_array_agg_sorted",
     "f13_higher_order", "fe01_feature_hashing", "ia01_incremental_agg",
     "ir01_keyword_topk", "j07_like_dim_join", "q01_project_filter",
-    "q02_sort_desc",
 ]
 
 

@@ -233,3 +233,33 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     assert single_cents > 0.9          # single-col sort: secondary dim unbounded
     assert z_cents < 0.5 * single_cents  # z-order bounds the secondary dim...
     assert z_cust < 0.6                  # ...while still bounding the primary
+
+
+def test_dd23_is_a_subset_of_dd06_with_full_exact_dup_recall(spark):
+    """dd23 (residual-LSH sub-blocked) must return a SUBSET of dd06's
+    label-blocked pairs — sub-blocking only prunes candidates, never
+    invents them — and can never lose an exact-duplicate pair (identical
+    vectors share a residual, hence a bucket)."""
+    from youtube_data_lakehouse_and_analysis_spark.plans.advanced import (
+        dd06_embedding_near_dup,
+        dd23_residual_blocked_near_dup,
+    )
+
+    from .conftest import SF_DIR
+
+    d06 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd06_embedding_near_dup(spark, SF_DIR).collect()
+    }
+    d23 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd23_residual_blocked_near_dup(spark, SF_DIR).collect()
+    }
+    assert d23 <= d06
+    # exact dups (cosine == 1.0 in dd06's output) can never be pruned
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd06_embedding_near_dup(spark, SF_DIR).collect()
+        if r["cosine"] >= 0.999999
+    }
+    assert exact <= d23

@@ -176,8 +176,10 @@ def near_dup_pairs(
     barely split a dense cell — exponent 1.67); sub-blocking by LSH of
     the RESIDUAL v − cell_mean (integer means, the sim12 recipe) with
     the plane count growing log2(n/cells/target) measures exponent
-    0.999 at planted-pair recall 0.97.  Callers needing bounded cells
-    should pass that composite key as `cell_col`."""
+    1.001 over x4→x64 at planted-pair recall 0.95.  Callers needing
+    bounded cells pass that composite key as `cell_col` —
+    plans/advanced.py::dd23_residual_blocked_near_dup is the
+    oracle-checked reference composition."""
     base = emb.select(
         F.col(cell_col).alias("_cell"), F.col(id_col), quantize(vec_col).alias("qv")
     ).withColumn("nsq", int_norm_sq(F.col("qv")))

@@ -13,7 +13,14 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
-from ..operators.similarity import int_dot, int_norm_sq, near_dup_pairs, quantize
+from ..operators.similarity import (
+    hyperplane_signs,
+    int_dot,
+    int_norm_sq,
+    lsh_bucket,
+    near_dup_pairs,
+    quantize,
+)
 from .queries import query
 
 
@@ -306,6 +313,98 @@ def dd06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each cluster cell only — the blocking that makes vector dedup
     tractable at 100 TB (operators/similarity.py::near_dup_pairs)."""
     return near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# dd23 — the residual-LSH sub-blocked production variant of dd06.
+_DD23_PLANES = 2
+_DD23_SIGNS = hyperplane_signs(_DD23_PLANES, 64)
+
+
+def _dd23_sql_bucket(col: str) -> str:
+    terms = []
+    for pl in range(_DD23_PLANES):
+        signs = "[" + ", ".join(str(x) for x in _DD23_SIGNS[pl]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> {col}[i] * ({signs})[i])) >= 0 THEN {1 << pl} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "dd23_residual_blocked_near_dup",
+    f"""WITH base AS (
+         SELECT label, vec_id,
+                list_transform(embedding, x -> CAST(round(least(greatest(CAST(x AS DOUBLE), -1000.0), 1000.0) * 1000) AS BIGINT)) AS qv
+         FROM embeddings
+       ),
+       cpos AS (
+         SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM base, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i
+       ),
+       cmean AS (SELECT label, list(s // cnt ORDER BY i) AS mv FROM cpos GROUP BY label),
+       resid AS (
+         SELECT b.label, vec_id, qv,
+                list_transform(range(1, 65), i -> qv[i] - mv[i]) AS rv
+         FROM base b JOIN cmean USING (label)
+       ),
+       withnorm AS (
+         SELECT CAST(label AS VARCHAR) || '_' || CAST({_dd23_sql_bucket('rv')} AS VARCHAR) AS cell,
+                vec_id, qv,
+                list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS nsq
+         FROM resid
+       )
+       SELECT a.cell, a.vec_id AS doc_a, b.vec_id AS doc_b,
+              CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+              / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine,
+              least(a.vec_id, b.vec_id) AS keep_id,
+              greatest(a.vec_id, b.vec_id) AS drop_id
+       FROM withnorm a JOIN withnorm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35""",
+)
+def dd23_residual_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd06's production-scale variant, adopted from the r15 blocking
+    measurement (tools/semdedup_audit.py, SCALE.md "SemDeDup blocking"):
+    the blocking cell is (label, LSH bucket of the RESIDUAL v − integer
+    cell mean).  Fixed cells measured candidate exponent 1.999 on the
+    vector tiers; raw-vector LSH sub-blocking 1.686 (origin-anchored
+    planes cannot split a dense cell — measured-rejected); residual LSH
+    1.001 at planted recall 0.95.  Cosine is still computed on the
+    ORIGINAL quantized vectors — blocking only gates candidates — and
+    the integer cell mean uses truncating division (Spark `div` ≡
+    DuckDB `//`, the sim12-verified identity), so the oracle is exact.
+    Two planes here (the sf tables' cells are small); production grows
+    planes as log2(n/cells/target)."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding", quantize("embedding").alias("qv")
+    )
+    cmean = (
+        base.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .withColumn("m", F.expr("s div cnt"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda t: t["m"]
+            ).alias("mv")
+        )
+    )
+    blocked = (
+        base.join(F.broadcast(cmean), "label")
+        .withColumn("rv", F.zip_with("qv", "mv", lambda x, y: x - y))
+        .withColumn(
+            "cell",
+            F.concat_ws(
+                "_",
+                F.col("label").cast("string"),
+                lsh_bucket(F.col("rv"), _DD23_SIGNS).cast("string"),
+            ),
+        )
+        .select("cell", "vec_id", "embedding")
+    )
+    return near_dup_pairs(blocked, threshold=0.35, cell_col="cell")
 
 
 @query(
