@@ -102,6 +102,8 @@ EXTENDED = [
     "ta19a_lm_gate_histogram",
     # r12: strict-threshold Jaccard discovery (the longdocs-gated regime)
     "dd22_jaccard_pairs_strict",
+    # r15: residual-LSH sub-blocked near-dup (the adopted SemDeDup recipe)
+    "dd23_residual_blocked_near_dup",
 ]
 
 
