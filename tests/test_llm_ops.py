@@ -517,3 +517,24 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     for r in df.collect():
         assert r["exact_hits"] <= r["bloom_flagged"]
         assert r["false_positives"] == r["bloom_flagged"] - r["exact_hits"]
+
+
+def test_verify_override_is_result_invariant(spark):
+    """The per-corpus `verify` override (r15) changes ONLY the verify-join
+    strategy, never the result: stream and broadcast legs must return
+    identical pair sets at a threshold on each side of the default
+    boundary, and an unknown value must raise."""
+    from youtube_data_lakehouse_and_analysis_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    for tau in (0.1, 0.5):  # below / above STREAM_VERIFY_MIN_TAU
+        legs = {
+            v: {
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+                for r in jaccard_pairs(docs, threshold=tau, verify=v).collect()
+            }
+            for v in ("auto", "stream", "broadcast")
+        }
+        assert legs["auto"] == legs["stream"] == legs["broadcast"], tau
+    with pytest.raises(ValueError):
+        jaccard_pairs(docs, threshold=0.5, verify="bogus").collect()

@@ -21,6 +21,10 @@ This tool manufactures that regime, deterministically, in named SHAPES:
   drawn Zipf(s=1.05): the top word lands in ~8% of token positions, so
   hot TRIGRAMS naturally occur in ~10% of documents — the
   boilerplate-shingle hazard a real corpus contains.
+* ``boilerdocs`` (r15) — the ADVERSARIAL df-distribution: longdocs
+  lengths but Zipf(s=1.3), putting the top word in ~25% of positions —
+  boilerplate shingles saturate far harder than any realistic web
+  corpus, probing whether the verify-boundary knee can cross 0.2.
 * ``shortdocs`` (r15) — the OPPOSITE df-distribution, for testing that
   constants tuned on longdocs (e.g. STREAM_VERIFY_MIN_TAU) are
   shape-robust rather than fit to one corpus: median ~60 tokens
@@ -87,6 +91,11 @@ GEN_SCHEME_VERSION = "perdoc-v2"
 SHAPES: dict[str, tuple[int, int, float, int, float, int, int]] = {
     "longdocs": (1207, 50_000, 1.05, 300, 0.8, 10, 8000),
     "shortdocs": (2113, 10_000, 0.7, 60, 0.5, 10, 2000),
+    # The adversarial direction (r15): Zipf(1.3) puts the top word in
+    # ~25% of token positions, so boilerplate trigrams saturate far
+    # harder than longdocs — the one shape the STREAM_VERIFY_MIN_TAU
+    # docstring names as grounds to re-measure the knee.
+    "boilerdocs": (3517, 50_000, 1.3, 300, 0.8, 10, 8000),
 }
 
 

@@ -510,6 +510,30 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
 STREAM_VERIFY_MIN_TAU = 0.2
 
 
+def _resolve_verify(verify: str, threshold: float) -> bool:
+    """Map the per-corpus ``verify`` override to the stream flag.
+
+    "auto" applies the measured default boundary (τ ≥
+    STREAM_VERIFY_MIN_TAU streams).  The explicit values exist because
+    the boundary's placement is a property of the CORPUS SHAPE, not
+    just of τ (r15, SCALE.md "The τ knee on the adversarial shape"): on
+    a boilerplate-saturated corpus (Zipf 1.3 — heavier than any
+    realistic web tail) even τ=0.2 measures a superlinear candidate
+    volume, and such a job should pass verify="broadcast" to keep the
+    bounded-memory verify contract; conversely verify="stream" forces
+    the corpus-scaling plan where a caller has measured their shape
+    linear below the default boundary (e.g. flat-vocabulary corpora,
+    where the knee sits at τ≈0.02).  tools/tau_knee.py --shape measures
+    the curve for a new corpus shape in one command."""
+    if verify == "auto":
+        return float(threshold) >= STREAM_VERIFY_MIN_TAU
+    if verify == "stream":
+        return True
+    if verify == "broadcast":
+        return False
+    raise ValueError(f"verify must be 'auto', 'stream' or 'broadcast', got {verify!r}")
+
+
 def _verified_overlaps(
     cand: DataFrame, arr: DataFrame, id_col: str, stream_verify: bool
 ) -> DataFrame:
@@ -613,6 +637,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    verify: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
     (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
@@ -632,7 +657,7 @@ def jaccard_pairs(
             _overlap_candidates(sh, arr, id_col),
             arr,
             id_col,
-            stream_verify=float(threshold) >= STREAM_VERIFY_MIN_TAU,
+            stream_verify=_resolve_verify(verify, threshold),
         )
         .withColumn(
             "jaccard",
@@ -650,6 +675,7 @@ def jaccard_truth_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    verify: str = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, n_a, n_b, n_common) for pairs with
     j_den·c ≥ j_num·(n_a + n_b − c) — the cross-multiplied INTEGER
@@ -672,7 +698,7 @@ def jaccard_truth_pairs(
         _overlap_candidates(sh, arr, id_col),
         arr,
         id_col,
-        stream_verify=(j_num / j_den) >= STREAM_VERIFY_MIN_TAU,
+        stream_verify=_resolve_verify(verify, j_num / j_den),
     ).filter(
         F.lit(j_den) * F.col("n_common")
         >= F.lit(j_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -705,6 +731,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    verify: str = "auto",
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT over pairs sharing ≥1 shingle:
     containment = |A∩B| / min(|A|, |B|) — the quote/subset detector.
@@ -752,7 +779,7 @@ def containment_pairs(
             _overlap_candidates(sh, arr, id_col),
             arr,
             id_col,
-            stream_verify=float(threshold) >= STREAM_VERIFY_MIN_TAU,
+            stream_verify=_resolve_verify(verify, threshold),
         )
         .withColumn(
             "containment",
