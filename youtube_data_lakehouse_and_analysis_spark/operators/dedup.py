@@ -506,7 +506,15 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
 # (244/501/1102 vs 240/480/964 true — top exponent 1.14).  The knee
 # MOVES DOWN as the vocabulary flattens (boilerplate shingles are what
 # leak through loose prefixes), so 0.2 sits above the knee on every
-# measured shape and the longdocs placement is the conservative one.
+# realistic measured shape and the longdocs placement is the
+# conservative one.  The adversarial direction (r15, boilerdocs —
+# Zipf 1.3, saturation beyond any realistic web tail) measures
+# quadratic candidates at EVERY τ ∈ {0.2, 0.25, 0.3} (exponents
+# 2.04-2.07): on a saturated corpus no boundary constant helps, because
+# even each doc's rarest shingles are hot and candidates are
+# lower-bounded by Σdf².  Such jobs must use LSH discovery (dd02/dd03)
+# with the pair operators as verify-only and pin verify="broadcast"
+# (see _resolve_verify; SCALE.md "The adversarial shape").
 STREAM_VERIFY_MIN_TAU = 0.2
 
 
