@@ -23,7 +23,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "youtube_lakehouse_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` lets diagnostic tooling (tools/stage_attrib.py) layer
+    observability confs (event logging) on the SAME tuned session the bench
+    runs — a hand-rolled session would measure plan shapes the shipped conf
+    never produces.  It must not be used to vary performance confs per
+    caller; those belong here, visible to every session."""
     cpus = cpus or CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -78,6 +87,8 @@ def get_spark(app_name: str = "youtube_lakehouse_spark", cpus: int | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
