@@ -151,6 +151,96 @@ def brute_force_topk(
     )
 
 
+def matmul_score_pairs(
+    prepared: DataFrame,
+    vec_col: str,
+    qrows: list,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, cand_id, cosine) for every collected query row × every
+    ``prepared`` row — the vectorized scoring core shared by the exact
+    top-k paths (r15): each Arrow batch's |batch|×|Q| block is ONE int64
+    numpy matmul inside mapInPandas, replacing the per-pair
+    zip_with/aggregate expression chain (guide §4.2 — measured 3.5×
+    on sim07's shape, where the whole corpus scan is a single task and
+    the JVM HOF evaluation serialized on it).
+
+    Exactness: integer dots are exact in int64 (|v| ≤ 10⁶ per component
+    after quantize, so |dot| < 2⁶³); the cast to double and the
+    sqrt/multiply/divide chain are the same IEEE ops the expression form
+    runs, in the same order — results are bit-identical (sim01's kernel
+    proved this against the DuckDB oracle since r7).  Null vector rows
+    (only possible from a null embedding) pair with null cosine in the
+    expression form via null propagation; the kernel emits those pairings
+    explicitly with REAL nulls (pandas nullable Float64 → Arrow null, not
+    NaN — NaN would sort above every cosine where null sorts last).  On
+    real corpora the null legs are dead code inside the batch loop."""
+    import numpy as np
+    import pandas as pd
+
+    nn = [r for r in qrows if r[vec_col] is not None]
+    null_q_ids = np.array(
+        [r[id_col] for r in qrows if r[vec_col] is None], dtype=np.int64
+    )
+    q_ids = np.array([r[id_col] for r in nn], dtype=np.int64)
+    Q = (
+        np.array([list(r[vec_col]) for r in nn], dtype=np.int64)
+        if nn
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    n_q = len(qrows)
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col]
+            mask = vecs.notna().to_numpy()
+            c_ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            if mask.any() and len(q_ids):
+                C = np.stack([np.asarray(v, dtype=np.int64) for v in vecs[mask]])
+                c_ids = c_ids_all[mask]
+                c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+                cos = (C @ Q.T).astype(np.float64) / (c_norm[:, None] * q_norm[None, :])
+                n, m = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
+                        "cand_id": np.repeat(c_ids, m),
+                        "cosine": cos.ravel(),
+                    }
+                )
+            n_null_c = int((~mask).sum())
+            if n_null_c and n_q:
+                # every query × null-vec candidates → null cosine
+                all_q = np.concatenate([q_ids, null_q_ids])
+                nc_ids = c_ids_all[~mask]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(all_q, n_null_c),
+                        "cand_id": np.repeat(nc_ids, n_q),
+                        "cosine": pd.array([pd.NA] * (n_null_c * n_q), dtype="Float64"),
+                    }
+                )
+            if len(null_q_ids) and mask.any():
+                # null-vec queries × non-null candidates → null cosine
+                c_ids = c_ids_all[mask]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(null_q_ids, len(c_ids)),
+                        "cand_id": np.tile(c_ids, len(null_q_ids)),
+                        "cosine": pd.array(
+                            [pd.NA] * (len(null_q_ids) * len(c_ids)), dtype="Float64"
+                        ),
+                    }
+                )
+
+    return prepared.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, cand_id long, cosine double"
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -224,13 +314,22 @@ def hyperplane_signs(num_planes: int, dims: int) -> list[list[int]]:
 
 
 def lsh_bucket(vec_q: Column, signs: list[list[int]]) -> Column:
-    """Bucket id: bit p = (vec · hyperplane_p >= 0), packed little-endian."""
-    bucket = F.lit(0).cast("long")
-    for p, row in enumerate(signs):
-        plane = F.array(*[F.lit(s) for s in row])
-        proj = int_dot(vec_q, plane.cast("array<long>"))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Bucket id: bit p = (vec · hyperplane_p >= 0), packed little-endian.
+
+    The input vector is bound once per row (r15): the per-plane sum
+    referenced ``vec_q`` len(signs) times, re-evaluating the caller's
+    inlined quantize() chain per plane."""
+    from ..functions.text import bind
+
+    def pack(vq):
+        bucket = F.lit(0).cast("long")
+        for p, row in enumerate(signs):
+            plane = F.array(*[F.lit(s) for s in row])
+            proj = int_dot(vq, plane.cast("array<long>"))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bucket
+
+    return bind(vec_q, pack)
 
 
 def lsh_topk(
@@ -294,14 +393,32 @@ def int8_requantize(qv: Column) -> Column:
     construction). A zero vector (amax = 0) stays all-zero. The double
     division inside floor() is safe: operands are < 2^35, so the
     quotient is within 2^-25 of the rational value, far beyond the
-    half-ulp it would take to cross an integer boundary."""
-    amax = F.array_max(F.transform(qv, lambda v: F.abs(v)))
-    def req(v):
-        mag = F.floor((F.lit(2) * F.abs(v) * 127 + amax) / (F.lit(2) * amax)).cast("long")
-        return F.when(amax == 0, F.lit(0).cast("long")).otherwise(
-            F.when(v >= 0, mag).otherwise(-mag)
-        )
-    return F.transform(qv, req)
+    half-ulp it would take to cross an integer boundary.
+
+    Evaluation shape (r15): the input vector and its amax are BOUND once
+    per row (functions.text.bind).  The r14 form referenced ``amax``
+    inside the per-component lambda, which re-evaluates
+    array_max(transform(...)) — with the caller's quantize() chain
+    inlined by CollapseProject — for EVERY component: 64× the work per
+    row, the exact hazard word_shingles documents.  Same math, same
+    bits, one evaluation."""
+    from ..functions.text import bind
+
+    def with_qv(qv_b):
+        def with_amax(amax):
+            def req(v):
+                mag = F.floor(
+                    (F.lit(2) * F.abs(v) * 127 + amax) / (F.lit(2) * amax)
+                ).cast("long")
+                return F.when(amax == 0, F.lit(0).cast("long")).otherwise(
+                    F.when(v >= 0, mag).otherwise(-mag)
+                )
+
+            return F.transform(qv_b, req)
+
+        return bind(F.array_max(F.transform(qv_b, lambda v: F.abs(v))), with_amax)
+
+    return bind(qv, with_qv)
 
 
 def project_signs(qv: Column, signs: list[list[int]]) -> Column:
@@ -313,12 +430,21 @@ def project_signs(qv: Column, signs: list[list[int]]) -> Column:
     this keeps the projected VALUES — a 64→P dimensionality reduction
     whose pairwise cosines approximate the originals (JL lemma), so the
     per-pair scoring cost in a rerank drops by dims/P while staying
-    deterministic (integer projections, exact on both engines)."""
-    return F.array(
-        *[
-            int_dot(qv, F.array(*[F.lit(s) for s in row]).cast("array<long>"))
-            for row in signs
-        ]
+    deterministic (integer projections, exact on both engines).
+
+    The input vector is bound once per row (r15): each plane's dot
+    referenced ``qv`` separately, re-evaluating the caller's inlined
+    quantize() chain len(signs) times per row."""
+    from ..functions.text import bind
+
+    return bind(
+        qv,
+        lambda qv_b: F.array(
+            *[
+                int_dot(qv_b, F.array(*[F.lit(s) for s in row]).cast("array<long>"))
+                for row in signs
+            ]
+        ),
     )
 
 

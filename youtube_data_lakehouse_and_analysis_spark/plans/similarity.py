@@ -363,27 +363,51 @@ def _sql_crossjoin_topk(prep_ctes: str, table: str, vec: str, mod: int, k: int, 
 def _crossjoin_topk(prepared: DataFrame, vec: str, mod: int, k: int) -> DataFrame:
     """Spark twin of _sql_crossjoin_topk: prepared carries
     (vec_id, <vec> array<long>, nsq); queries are vec_id % mod == 0,
-    broadcast into the candidate crossJoin, exact top-k per query."""
-    q = prepared.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col(vec).alias("q_vec"),
-        F.col("nsq").alias("q_nsq"),
+    exact top-k per query.
+
+    Scoring (r15): the query rows ship in the task closure and each
+    Arrow batch scores against them with one int64 numpy matmul
+    (S.matmul_score_pairs — bit-identical to the expression form, see
+    its docstring), replacing the broadcast crossJoin whose per-pair
+    zip_with/aggregate dot serialized on the single-task embeddings
+    scan (sim07 2.23 s → the kernel's sim01, same |Q|×|C| shape, runs
+    0.61 s).  When the query set outgrows the closure-size contract the
+    broadcast-crossJoin expression form still runs — same output, no
+    raise: these queries' semantics are unconditional, and a corpus
+    big enough to trip the bound should be on the LSH path anyway."""
+    if "nsq" not in prepared.columns:  # defensive: both callers attach it
+        prepared = prepared.withColumn("nsq", S.int_norm_sq(F.col(vec)))
+    qrows = (
+        prepared.filter(F.col("vec_id") % mod == 0)
+        .select("vec_id", vec)
+        .limit(S.MAX_BRUTE_FORCE_QUERIES + 1)
+        .collect()
     )
-    c = prepared.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col(vec).alias("c_vec"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn(
-            "cosine",
-            S.cosine_from_ints(
-                S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
-            ),
+    if len(qrows) <= S.MAX_BRUTE_FORCE_QUERIES:
+        scored = S.matmul_score_pairs(prepared, vec, qrows).filter(
+            F.col("query_id") != F.col("cand_id")
         )
-    )
+    else:
+        q = prepared.filter(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec).alias("q_vec"),
+            F.col("nsq").alias("q_nsq"),
+        )
+        c = prepared.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("nsq").alias("c_nsq"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .withColumn(
+                "cosine",
+                S.cosine_from_ints(
+                    S.int_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nsq"), F.col("c_nsq")
+                ),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
