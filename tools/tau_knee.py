@@ -100,7 +100,7 @@ def main() -> int:
             # so this counts exactly the shipped candidate set
             sh = D.shingle_rows(docs)
             arr = checkpoint(jaccard_overlap_bounds(_doc_arrays(sh, "doc_id"), tau))
-            n_cand = _overlap_candidates(sh, arr, "doc_id").count()
+            n_cand = _overlap_candidates(arr, "doc_id").count()
             # wall + true output with the shipped strategy selection
             best, n_pairs = math.inf, None
             for _ in range(reps):

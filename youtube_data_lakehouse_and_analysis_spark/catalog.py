@@ -47,10 +47,16 @@ TABLES = (
 
 # Rows per output file. Facts split to ~20k-row chunks (plenty of tasks at
 # local scale, still far above small-file territory). documents/embeddings
-# carry heavier PER-ROW compute (minhash, vector math), but measured A/B
-# (interleaved, one process) shows per-task overhead still dominates below
-# ~2500 rows/file at local scale — so they chunk coarser, not finer.
-_CHUNK_ROWS = {"documents": 2500, "embeddings": 2500}
+# carry heavier PER-ROW compute (minhash, vector math); documents stays at
+# 2500 (the r14 A/B held: finer chunks measurably SLOWED dd02 0.72→0.84 s,
+# per-task overhead dominating), but embeddings moved to 500 (r15): at
+# sf0.1 the 2000-row table compacted to ONE file, so every sim-family scan
+# — quantize + 8-16 hyperplane projections per row, then the matmul kernel
+# — ran as a single task.  Re-measured interleaved at sf0.1: sim01
+# 0.78→0.59, sim15 1.86→1.45, dd23 1.82→1.13 s.  The dict is the
+# local-scale layout knob by design; production file sizing (128 MB-1 GB
+# targets) is the compaction job's own concern at 100 TB.
+_CHUNK_ROWS = {"documents": 2500, "embeddings": 500}
 _DEFAULT_CHUNK_ROWS = 20_000
 _MAX_FILES = 64
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import checkpoint
-from ..functions.text import md5_prefix_long, normalize_text, tokens, word_shingles
+from ..functions.text import bind, md5_prefix_long, normalize_text, tokens, word_shingles
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -236,7 +236,7 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
 _COMBO_MAX_PREFIX = 256
 
 
-def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame:
+def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs, COMPLETE for every pair
     sharing ≥ 1 shingle whose true overlap ≥ the ``t`` column of its
     smaller side (callers derive t from their threshold; docs with t ≤ 1
@@ -285,27 +285,38 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     the exact single-giant-row hazard a 100 TB corpus will contain."""
 
     def combo_hashes(upto):
-        # all xxhash64(s_i, s_j) for ordered positions i < j ≤ upto —
-        # generated map-side with higher-order functions (no UDF), hashed
-        # to 8-byte keys so the candidate join shuffles longs, not ~40-char
-        # shingle-pair strings.  IN THIS COMBO LEG hash collisions only ADD
-        # candidates (any pair sharing one real combo still meets on that
-        # combo's key); the verify stage is exact, so the output is
-        # unaffected.  The spill legs below COUNT distinct keys, where a
-        # collision could subtract — they key on 128 bits instead.  (Measured
-        # alternatives at sf1, both slower or broken: pre-hashing shingles
-        # to a long array and pairing longs re-reads the second array
-        # column for every outer element (+20%); shuffle_hash on the
-        # candidate join OOMs building a 9M-row LongHashedRelation.)
-        head = F.slice("shingles", 1, upto)
-        return F.flatten(
-            F.transform(
-                head,
-                lambda x, i: F.transform(
-                    F.slice("shingles", i + F.lit(2), F.greatest(upto - i - 1, F.lit(0))),
-                    lambda y: F.xxhash64(x, y),
-                ),
-            )
+        # all xxhash64(h_i, h_j) for ordered positions i < j ≤ upto,
+        # h = xxhash64(shingle) — generated map-side with higher-order
+        # functions (no UDF), 8-byte keys so the candidate join shuffles
+        # longs, not ~40-char shingle-pair strings.  IN THIS COMBO LEG
+        # hash collisions only ADD candidates (any pair sharing one real
+        # combo still meets on that combo's key — both sides derive the
+        # key from the same shingle strings through the same function);
+        # the verify stage is exact, so the output is unaffected.  The
+        # spill legs below COUNT distinct keys, where a collision could
+        # subtract — they key on 128 bits instead.
+        #
+        # Each prefix shingle is hashed ONCE and the O(p²) pairing mixes
+        # fixed-width longs (r15: measured 28% faster emission than
+        # hashing the string pair per combo).  The r10 form that
+        # measured +20% WORSE pre-hashed into a separate column and
+        # re-read it per outer element; the bind() binds the hashed
+        # prefix once per row, so the nested lambdas see a variable, not
+        # a re-evaluated expression.  (Still pinned from r10 measurement:
+        # shuffle_hash on the candidate join OOMs building a 9M-row
+        # LongHashedRelation.)
+        head_h = F.transform(F.slice("shingles", 1, upto), lambda s: F.xxhash64(s))
+        return bind(
+            head_h,
+            lambda hh: F.flatten(
+                F.transform(
+                    hh,
+                    lambda x, i: F.transform(
+                        F.slice(hh, i + F.lit(2), F.greatest(upto - i - 1, F.lit(0))),
+                        lambda y: F.xxhash64(x, y),
+                    ),
+                )
+            ),
         )
 
     # index-side prefix: the symmetric bound when the caller derived one
@@ -352,10 +363,19 @@ def _overlap_candidates(sh: DataFrame, arr: DataFrame, id_col: str) -> DataFrame
     # O(corpus) build that cannot survive growth (at thresholds where
     # this leg is non-empty the probe side is small, but the build side
     # never is).
+    #
+    # The corpus side explodes the CHECKPOINTED array table (r15): arr's
+    # shingle arrays are exactly the per-doc distinct shingles the raw
+    # (doc, shingle) table holds — arr is built FROM it by collect_list —
+    # so exploding arr is row-identical while reading the materialized
+    # checkpoint instead of re-running the whole normalize→tokenize→
+    # shingle pipeline over the corpus a second time (measured ~3-6 s of
+    # CPU per query at sf0.1, paid even when ZERO docs have t ≤ 1).
     small_sh = small.select(F.col(id_col).alias("doc_s"), F.explode("shingles").alias("shingle"))
+    corpus_sh = arr.select(F.col(id_col).alias("doc_o"), F.explode("shingles").alias("shingle"))
     small_cand = (
         small_sh.hint("merge")
-        .join(sh.select(F.col(id_col).alias("doc_o"), "shingle"), "shingle")
+        .join(corpus_sh, "shingle")
         .filter(F.col("doc_s") != F.col("doc_o"))
         .select(
             F.least("doc_s", "doc_o").alias("doc_a"),
@@ -662,7 +682,7 @@ def jaccard_pairs(
     arr = checkpoint(jaccard_overlap_bounds(_doc_arrays(sh, id_col), threshold))
     return (
         _verified_overlaps(
-            _overlap_candidates(sh, arr, id_col),
+            _overlap_candidates(arr, id_col),
             arr,
             id_col,
             stream_verify=_resolve_verify(verify, threshold),
@@ -703,7 +723,7 @@ def jaccard_truth_pairs(
         attach_overlap_bounds(_doc_arrays(sh, id_col), 2.0 * j_num / (j_num + j_den), j_num / j_den)
     )
     return _verified_overlaps(
-        _overlap_candidates(sh, arr, id_col),
+        _overlap_candidates(arr, id_col),
         arr,
         id_col,
         stream_verify=_resolve_verify(verify, j_num / j_den),
@@ -784,7 +804,7 @@ def containment_pairs(
     )
     return (
         _verified_overlaps(
-            _overlap_candidates(sh, arr, id_col),
+            _overlap_candidates(arr, id_col),
             arr,
             id_col,
             stream_verify=_resolve_verify(verify, threshold),

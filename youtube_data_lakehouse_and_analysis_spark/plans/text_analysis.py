@@ -280,13 +280,24 @@ def ta16_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a KB-sized shuffle."""
     docs = load(spark, sf_dir, "documents")
     t = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    # The stripped text is BOUND once per row (r15): the 26 per-letter
+    # count expressions each reference it twice, and codegen's
+    # subexpression elimination does not catch every duplicate of the
+    # regexp chain (measured 13% on the scan+agg stage).
     per_doc = docs.select(
         "source",
-        *[
-            (F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))).alias(f"c_{ch}")
-            for ch in _LETTERS
-        ],
-    )
+        bind(
+            t,
+            lambda tb: F.struct(
+                *[
+                    (F.length(tb) - F.length(F.replace(tb, F.lit(ch), F.lit("")))).alias(
+                        f"c_{ch}"
+                    )
+                    for ch in _LETTERS
+                ]
+            ),
+        ).alias("_s"),
+    ).select("source", "_s.*")
     agg = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         *[F.sum(f"c_{ch}").alias(f"c_{ch}") for ch in _LETTERS],
