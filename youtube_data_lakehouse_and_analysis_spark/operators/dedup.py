@@ -659,6 +659,29 @@ def jaccard_overlap_bounds(arr: DataFrame, threshold: float) -> DataFrame:
     return attach_overlap_bounds(arr, 2.0 * tau / (1.0 + tau), tau)
 
 
+# Pre-spread the array table before checkpointing when the index-side
+# prefix covers at least this fraction of each doc's shingles.  Combo
+# emission is O(prefix²) per doc, so when prefixes are near-full (every
+# asymmetric metric, and loose-τ Jaccard) the explode stages carry 10-20×
+# the checkpoint's bytes as CPU — but AQE coalesces the groupBy output by
+# its (small, pre-explode) BYTE size, leaving the explode on a handful of
+# partitions.  Measured interleaved at sf0.1 (r15): dd18 (containment,
+# full index prefix) 3.20 → 2.14 s with arr at defaultParallelism, while
+# dd22 (τ=0.5 Jaccard, quarter-volume combos) measured best left to AQE
+# (1.17 vs 1.37 s — task overhead exceeds the parallelism win).  The
+# boundary is PLAN-TIME knowable from ts_frac: (1 − ts_frac) ≥ 0.6 means
+# near-full prefixes → spread.  Same repartition contract as _spread (the
+# shingle stage), over a strictly smaller table.
+_ARR_SPREAD_MIN_IDX_FRAC = 0.6
+
+
+def _maybe_spread_arr(arr: DataFrame, id_col: str, ts_frac: float | None) -> DataFrame:
+    idx_frac = 1.0 if ts_frac is None else 1.0 - float(ts_frac)
+    if idx_frac < _ARR_SPREAD_MIN_IDX_FRAC:
+        return arr
+    return arr.repartition(arr.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -679,7 +702,11 @@ def jaccard_pairs(
     ceil(τ·n) is attached as the index-side prefix bound (r12), keeping
     long docs on the combo path instead of the single-shingle fallback."""
     sh = shingle_rows(docs, id_col, text_col, k)
-    arr = checkpoint(jaccard_overlap_bounds(_doc_arrays(sh, id_col), threshold))
+    arr = checkpoint(
+        _maybe_spread_arr(
+            jaccard_overlap_bounds(_doc_arrays(sh, id_col), threshold), id_col, threshold
+        )
+    )
     return (
         _verified_overlaps(
             _overlap_candidates(arr, id_col),
@@ -720,7 +747,13 @@ def jaccard_truth_pairs(
     # 2·j_num/(j_num+j_den) and j_num/j_den (NOT re-derived through a
     # float τ, which could differ in the last ulp).
     arr = checkpoint(
-        attach_overlap_bounds(_doc_arrays(sh, id_col), 2.0 * j_num / (j_num + j_den), j_num / j_den)
+        _maybe_spread_arr(
+            attach_overlap_bounds(
+                _doc_arrays(sh, id_col), 2.0 * j_num / (j_num + j_den), j_num / j_den
+            ),
+            id_col,
+            j_num / j_den,
+        )
     )
     return _verified_overlaps(
         _overlap_candidates(arr, id_col),
@@ -798,8 +831,12 @@ def containment_pairs(
     # can qualify on a single shared shingle and take the direct path
     # inside _overlap_candidates.
     arr = checkpoint(
-        _doc_arrays(sh, id_col).withColumn(
-            "t", F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+        _maybe_spread_arr(
+            _doc_arrays(sh, id_col).withColumn(
+                "t", F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(_T_SLACK)).cast("int")
+            ),
+            id_col,
+            None,  # asymmetric: no symmetric index bound, full prefixes
         )
     )
     return (
