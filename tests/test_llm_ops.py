@@ -538,3 +538,55 @@ def test_verify_override_is_result_invariant(spark):
         assert legs["auto"] == legs["stream"] == legs["broadcast"], tau
     with pytest.raises(ValueError):
         jaccard_pairs(docs, threshold=0.5, verify="bogus").collect()
+
+
+def test_matmul_score_pairs_matches_expression_form(spark):
+    """The r15 scoring kernel (sim07/sim08's path) must reproduce the
+    broadcast-crossJoin expression form pair-for-pair and bit-for-bit,
+    including the degenerate legs: NULL vector and vector with null
+    COMPONENTS (both score as null cosine via int_dot null propagation).
+    All-zero vectors are outside both forms' contract (under ANSI the
+    expression form raises DIVIDE_BY_ZERO; no corpus layout produces a
+    zero-norm quantized vector)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.LongType())),
+        ]
+    )
+    rows = [
+        (0, [3, 4, 0]),
+        (1, [1, 2, 2]),
+        (2, None),
+        (3, [None, 5, 1]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    qrows = df.where(F.col("vec_id").isin(0, 2, 3)).collect()
+    kernel = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in S.matmul_score_pairs(df, "v", qrows).collect()
+    }
+    q = spark.createDataFrame(qrows, schema).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    expr = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in df.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_from_ints(
+                S.int_dot(F.col("qv"), F.col("cv")),
+                S.int_norm_sq(F.col("qv")),
+                S.int_norm_sq(F.col("cv")),
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    assert kernel.keys() == expr.keys()
+    for k in expr:
+        a, b = kernel[k], expr[k]
+        assert (a is None and b is None) or a == b, (k, a, b)

@@ -42,6 +42,8 @@ PYTHON_EVAL_WHITELIST = {
     "pd03_grouped_agg_udf": "grouped-aggregate pandas UDF surface (ArrowAggregatePython)",
     "pd04_map_in_arrow": "raw-Arrow batch transform surface (MapInArrow)",
     "sim01_bruteforce_topk": "int64 matmul scoring block (mapInPandas) — the exact truth leg",
+    "sim07_int8_quantized_topk": "r15: matmul_score_pairs kernel replaced the per-pair HOF dot (2.23→0.64 s)",
+    "sim08_random_projection_topk": "r15: matmul_score_pairs kernel, same bounded-query contract",
     "sim09_ann_recall": "brute-force truth leg reuses sim01's scorer",
     "sim10_multiprobe_recall": "brute-force truth leg reuses sim01's scorer",
 }

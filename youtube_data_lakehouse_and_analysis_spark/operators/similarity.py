@@ -169,18 +169,38 @@ def matmul_score_pairs(
     after quantize, so |dot| < 2⁶³); the cast to double and the
     sqrt/multiply/divide chain are the same IEEE ops the expression form
     runs, in the same order — results are bit-identical (sim01's kernel
-    proved this against the DuckDB oracle since r7).  Null vector rows
-    (only possible from a null embedding) pair with null cosine in the
-    expression form via null propagation; the kernel emits those pairings
+    proved this against the DuckDB oracle since r7).  A NULL vector — or
+    a vector with any NULL *component* (a null-component embedding flows
+    through quantize/project as per-component nulls) — pairs with null
+    cosine in the expression form via null propagation (int_dot's
+    zip_with product and aggregate sum are both null-absorbing); the
+    kernel classifies such rows on BOTH sides and emits those pairings
     explicitly with REAL nulls (pandas nullable Float64 → Arrow null, not
     NaN — NaN would sort above every cosine where null sorts last).  On
     real corpora the null legs are dead code inside the batch loop."""
     import numpy as np
     import pandas as pd
 
-    nn = [r for r in qrows if r[vec_col] is not None]
+    def _clean(v) -> bool:
+        # Driver-side rows (collect) carry null components as Python None
+        # inside a list; executor-side Arrow→pandas batches render a
+        # null-component list<long> as a FLOAT ndarray with NaN (an
+        # all-integral list stays an int-dtype ndarray).  Both spellings
+        # must land in the null-cosine leg — an int64 cast of NaN is
+        # silent garbage, not an error.
+        if v is None:
+            return False
+        if isinstance(v, np.ndarray):
+            if v.dtype.kind in "iu":
+                return True
+            if v.dtype.kind == "f":
+                return not np.isnan(v).any()
+            return not pd.isna(v).any()
+        return None not in v
+
+    nn = [r for r in qrows if _clean(r[vec_col])]
     null_q_ids = np.array(
-        [r[id_col] for r in qrows if r[vec_col] is None], dtype=np.int64
+        [r[id_col] for r in qrows if not _clean(r[vec_col])], dtype=np.int64
     )
     q_ids = np.array([r[id_col] for r in nn], dtype=np.int64)
     Q = (
@@ -196,7 +216,7 @@ def matmul_score_pairs(
             if len(pdf) == 0:
                 continue
             vecs = pdf[vec_col]
-            mask = vecs.notna().to_numpy()
+            mask = np.fromiter((_clean(v) for v in vecs), dtype=bool, count=len(vecs))
             c_ids_all = pdf[id_col].to_numpy(dtype=np.int64)
             if mask.any() and len(q_ids):
                 C = np.stack([np.asarray(v, dtype=np.int64) for v in vecs[mask]])
