@@ -232,12 +232,25 @@ def main() -> None:
             env[name].append(snap)
         timings[name] = round(statistics.median(samples[name]), 4)
     extended: dict[str, float] = {}
+    extended_samples: dict[str, list[float]] = {}
+    extended_env: dict[str, list[dict]] = {}
     for name in EXTENDED:
         fn = queries[name]
         run_query(spark, fn, SF_DIR)  # one warm-up
-        extended[name] = round(
-            statistics.median(run_query(spark, fn, SF_DIR) for _ in range(3)), 4
-        )
+        # r16: the extended tier now records per-rep samples + env/steal
+        # exactly like the headline loop (r15 verdict item 1: the dd18
+        # spread dispute could not be adjudicated because extended reps
+        # carried no steal ledger).  Sampling happens OUTSIDE the timer;
+        # the timed path and the median-of-3 scheme are unchanged.
+        extended_samples[name] = []
+        extended_env[name] = []
+        for _ in range(3):
+            c0 = cpu_sample()
+            extended_samples[name].append(round(run_query(spark, fn, SF_DIR), 4))
+            snap = load_snapshot()
+            snap.update(cpu_delta_pct(c0, cpu_sample()))
+            extended_env[name].append(snap)
+        extended[name] = round(statistics.median(extended_samples[name]), 4)
     total = round(sum(timings.values()), 4)
     # Diagnostics go to a SIDE FILE, not the contract line: the r6 driver
     # artifact was front-truncated ("parsed": null) because the one JSON line
@@ -254,6 +267,8 @@ def main() -> None:
                 "warmup": warmup,
                 "prebuild": prebuild,
                 "extended": extended,
+                "extended_samples": extended_samples,
+                "extended_env_per_rep": extended_env,
                 "env_before": env_before,
                 "env_after": load_snapshot(),
                 "env_per_rep": env,

@@ -65,7 +65,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             walls[name].append(time.perf_counter() - t0)
-    spark.sparkContext.setJobGroup(None, None)
+    # Reset via the supported API: setJobGroup(None, None) relies on the
+    # JVM tolerating null strings, which typed/connect builds reject
+    # (r15 ADVICE).
+    try:
+        spark.sparkContext._jsc.clearJobGroup()
+    except Exception:
+        pass  # tool-only cleanup; the session stops next anyway
     spark.stop()
 
     # --- parse the event log -------------------------------------------
