@@ -479,15 +479,23 @@ def test_ta12_vocab_takeordered_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q05_join_form_upgrades_to_broadcast(spark):
-    """q05 (join form): AQE must upgrade the agg-side probe to a
-    BroadcastHashJoin at test scale — the runtime re-plan this engine
-    relies on instead of hand-picking join strategies."""
+def test_q05_join_form_single_key_copartitioned(spark):
+    """q05 (join form, r16): the join must stay keyed on l_orderkey
+    ALONE (an equality filter above the join would be extracted as a
+    composite (price, orderkey) join key, re-shuffling both sides —
+    the >= form prevents that), run as a co-partitioned sort-merge
+    join, and never broadcast the O(orders) per-order max table
+    (impossible at 100 TB)."""
     df = QUERIES["q05_groupwise_max"](spark, SF_DIR)
     df.collect()  # AQE finalizes the physical plan on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin [l_orderkey" in final
+    assert "knownfloatingpointnormalized" not in final  # no price join key
+    assert "BroadcastHashJoin" not in final
+    # one hash exchange per branch (agg's branch is 2-col-pruned, so the
+    # branches cannot literally share); the third exchange is range sort
+    assert final.count("Exchange hashpartitioning") == 2
 
 
 def test_h03_h18_topk_and_single_shuffle(spark):

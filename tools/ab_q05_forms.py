@@ -92,7 +92,42 @@ def reuse_nb(spark, sf_dir):
     )
 
 
-VARIANTS = {"shipped": shipped, "reuse": reuse, "reuse_nb": reuse_nb}
+def reuse_ge(spark, sf_dir):
+    """reuse_nb, but the tie-keeping price equality is expressed as
+    l_extendedprice >= max_price (equivalent: the group max bounds every
+    member, so >= holds iff equality holds).  An equality ABOVE the join
+    gets extracted as a composite join KEY by Catalyst, which re-shuffles
+    BOTH sides on (normalized(price), orderkey) and destroys the
+    exchange reuse — >= is not equi-extractable, so the join stays on
+    l_orderkey alone and the repartition is genuinely reused."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartition("l_orderkey")
+    )
+    m = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_extendedprice").alias("max_price"))
+        .withColumnRenamed("l_orderkey", "m_orderkey")
+        .hint("merge")
+    )
+    return (
+        li.join(
+            m,
+            on=(li["l_orderkey"] == m["m_orderkey"])
+            & (li["l_extendedprice"] >= m["max_price"]),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"))
+    )
+
+
+VARIANTS = {
+    "shipped": shipped,
+    "reuse": reuse,
+    "reuse_nb": reuse_nb,
+    "reuse_ge": reuse_ge,
+}
 
 
 def main() -> None:

@@ -49,16 +49,48 @@ TABLES = (
 # local scale, still far above small-file territory). documents/embeddings
 # carry heavier PER-ROW compute (minhash, vector math); documents stays at
 # 2500 (the r14 A/B held: finer chunks measurably SLOWED dd02 0.72→0.84 s,
-# per-task overhead dominating), but embeddings moved to 500 (r15): at
-# sf0.1 the 2000-row table compacted to ONE file, so every sim-family scan
-# — quantize + 8-16 hyperplane projections per row, then the matmul kernel
-# — ran as a single task.  Re-measured interleaved at sf0.1: sim01
-# 0.78→0.59, sim15 1.86→1.45, dd23 1.82→1.13 s.  The dict is the
-# local-scale layout knob by design; production file sizing (128 MB-1 GB
-# targets) is the compaction job's own concern at 100 TB.
-_CHUNK_ROWS = {"documents": 2500, "embeddings": 500}
+# per-task overhead dominating).  embeddings is NOT a row-count knob
+# (r16, verdict item 2 — the r15 `500` encoded "32-core box at sf0.1"):
+# its file count derives from the session's parallelism and a production
+# byte target in _compacted below.
+_CHUNK_ROWS = {"documents": 2500}
 _DEFAULT_CHUNK_ROWS = 20_000
 _MAX_FILES = 64
+
+# embeddings layout (r15 finding, r16 parameterization): the sim family's
+# per-ROW compute (quantize + hyperplane projections + the matmul kernel)
+# dominates its scan, and the session's default openCostInBytes (4 MB)
+# puts each compacted file in its own scan task — so the file count IS
+# the stage's parallelism.  Derivation: as many files as the session has
+# cores, but never smaller than _MIN_SPLIT_BYTES each — a work-per-task
+# floor, not a per-environment row count.  The floor was measured, not
+# guessed (r16, interleaved ×5 at sf0.1): splitting the 0.76 MB table
+# all the way to 32 × ~25 KB files ran sim01 27% and sim15 13% SLOWER
+# than 4 × ~200 KB (task scheduling + Python-worker batch setup beat the
+# saved compute), while the ~200 KB floor reproduces the r15-measured
+# best layout exactly (sim01 0.78→0.59 vs the single-file r14 state).
+# The same rule is scale-adaptive with no re-tuning: sf0.01 (0.19 MB)
+# stays 1 file (raw read), sf1 (~7.6 MB) derives 32 files on 32 cores,
+# and an 8-core driver scaling session derives the same 4 files at
+# sf0.1.  Production file sizing (128 MB-1 GB, guide §6) remains the
+# ingest compaction job's concern — _MAX_FILES caps this local rule
+# long before those sizes.
+_SPLIT_TO_CORES = {"embeddings"}
+_MIN_SPLIT_BYTES = 192 << 10
+
+
+def _n_files(spark: SparkSession, name: str, n_rows: int, src_bytes: int) -> int:
+    if name in _SPLIT_TO_CORES:
+        return max(
+            1,
+            min(
+                _MAX_FILES,
+                spark.sparkContext.defaultParallelism,
+                src_bytes // _MIN_SPLIT_BYTES,
+            ),
+        )
+    chunk = _CHUNK_ROWS.get(name, _DEFAULT_CHUNK_ROWS)
+    return min(_MAX_FILES, max(1, (n_rows + chunk - 1) // chunk))
 
 
 def _repo_root() -> str:
@@ -106,8 +138,21 @@ _META_NAME = "_GRAFT_META.json"  # underscore-prefixed: invisible to Spark scans
 # manifest check (_quick_intact: exact file set + byte sizes — catches the
 # deletion/truncation damage classes of test_catalog_layout.py), and the
 # footer-reading row-count check (_cache_intact) still runs on the first
-# resolution per process and after every rebuild.
-_RESOLVED: dict[tuple, tuple[DataFrame, str | None]] = {}
+# resolution per process and after every rebuild.  The memo additionally
+# pins the MANIFEST's mtime_ns (r16, r15 ADVICE): if another process
+# rebuilds the compacted copy (damage repair), the new _GRAFT_META.json
+# matches the new part files — _quick_intact alone would pass — but the
+# memoized plan still lists the DELETED old files; the fresh manifest
+# mtime misses the memo and forces a re-resolution instead of a
+# FileNotFoundException at execution.
+_RESOLVED: dict[tuple, tuple[DataFrame, str | None, int | None]] = {}
+
+
+def _meta_mtime(dest: str) -> int | None:
+    try:
+        return os.stat(os.path.join(dest, _META_NAME)).st_mtime_ns
+    except OSError:
+        return None
 
 
 def _write_meta(dest: str, n_rows: int) -> None:
@@ -197,8 +242,7 @@ def _compacted(spark: SparkSession, src: str, name: str, raw_fn) -> tuple[DataFr
 
         st = os.stat(src)
         n_rows = pq.ParquetFile(src).metadata.num_rows
-        chunk = _CHUNK_ROWS.get(name, _DEFAULT_CHUNK_ROWS)
-        n_files = min(_MAX_FILES, max(1, (n_rows + chunk - 1) // chunk))
+        n_files = _n_files(spark, name, n_rows, st.st_size)
         if n_files < 2:
             return raw_fn(), None  # compaction would not add parallelism
         key = hashlib.md5(
@@ -309,13 +353,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key is not None:
         memo = _RESOLVED.get(key)
         if memo is not None:
-            df, dest = memo
-            if dest is None or _quick_intact(dest):
+            df, dest, meta_sig = memo
+            if dest is None or (
+                _meta_mtime(dest) == meta_sig and _quick_intact(dest)
+            ):
                 return df
-            del _RESOLVED[key]  # damaged compacted copy: re-resolve/rebuild
+            # damaged OR externally-rebuilt compacted copy: re-resolve
+            del _RESOLVED[key]
     df, dest = _resolve(spark, src, name)
     if key is not None:
-        _RESOLVED[key] = (df, dest)
+        _RESOLVED[key] = (df, dest, _meta_mtime(dest) if dest is not None else None)
     return df
 
 

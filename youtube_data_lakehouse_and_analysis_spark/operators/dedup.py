@@ -235,6 +235,12 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
 # indexed ALL C(n,2) combos and had to cap n itself at 256.
 _COMBO_MAX_PREFIX = 256
 
+# r16: positional (PPJoin) hit filter on the SPILL legs — see the
+# _overlap_candidates docstring for the bound and the losslessness
+# argument.  Module flag (same pattern as _ARR_SPREAD_MIN_IDX_FRAC) so
+# tools/ab tooling can flip it plan-effectively per run.
+_SPILL_POS_FILTER = True
+
 
 def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs, COMPLETE for every pair
@@ -282,7 +288,43 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     full corpus inverted index (lossless for ANY threshold).  Without
     the cap, one pathological document (the maxvals layout's 1 MB text =
     ~140k distinct shingles) emits C(140k·(1−τ), 2) ≈ 10⁸⁻¹⁰ combos —
-    the exact single-giant-row hazard a 100 TB corpus will contain."""
+    the exact single-giant-row hazard a 100 TB corpus will contain.
+
+    POSITIONAL filter — SPILL LEGS ONLY (r16; PPJoin, Xiao et al.
+    WWW'08 §3.2): every spill key carries ``rem`` = n − j, the suffix
+    length after its shingle's 1-based position j in the df-ranked
+    array.  A matched key can only witness a pair whose true overlap c
+    satisfies c ≤ 2 + min(rem_p, rem_i) (commons other than the key's
+    shingle — minus at most one ranking below it — all rank after it),
+    while a qualifying pair needs c ≥ least(t_p, t_i) (t of the min-n
+    side; t is monotone in n) and — symmetric metrics — c ≥
+    greatest(ts_p, ts_i).  Hits failing those bounds are dropped
+    BEFORE the quadratic-mass ≥2-distinct-key aggregate.  LOSSLESS:
+    the pair's two rarest common shingles sit at j ≤ n − c + 1 and
+    j ≤ n − c + 2 in BOTH members, so both their hits pass and the
+    ≥2-distinct-key count is preserved.  Decomposed per side, the
+    probe-side conjunct 2 + rem_p ≥ least(t_p, t_i) is implied by the
+    probe's own emission prefix (j ≤ n − t + 2 ⇒ rem_p ≥ t_p − 2), as
+    are 2 + rem_p ≥ ts_p and 2 + rem_i ≥ ts_i — so only the cross
+    conjuncts are evaluated: 2 + rem_i ≥ least(t_p, t_i), plus
+    2 + rem_p ≥ ts_i and 2 + rem_i ≥ ts_p when a symmetric bound
+    exists.  Collisions still only ADD candidates (the filter never
+    consults hash values), and the verify stage stays exact.  The
+    spill keys were ALREADY emitted as structs (the 128-bit h1/h2
+    pair), so ``rem`` is one int field in an existing struct — free on
+    corpora where the legs are empty scans (every driver tier).
+
+    The SAME filter on the COMBO leg was measured and REJECTED (r16):
+    it requires replacing the combo leg's primitive long-array
+    emission with array<struct> plus per-row t/ts/rem join columns,
+    and at sf0.1 it removes only 1.7% of combo-join match rows
+    (513 715 → 505 187; distinct candidates 51 478 → 44 319) while
+    dd18's wall went 2.9 → ≥4.4 s — matches concentrate on the RARE
+    (early-position) shingles by construction of the df-ranked
+    prefixes, so deep-suffix matches are the exception, and the
+    emission/sort cost lands on every one of the ~12.6M emitted combo
+    rows.  See OPTIMIZATION_r16.md and tools/cand_volume.py."""
+    symmetric = "ts" in arr.columns
 
     def combo_hashes(upto):
         # all xxhash64(h_i, h_j) for ordered positions i < j ≤ upto,
@@ -304,7 +346,10 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         # prefix once per row, so the nested lambdas see a variable, not
         # a re-evaluated expression.  (Still pinned from r10 measurement:
         # shuffle_hash on the candidate join OOMs building a 9M-row
-        # LongHashedRelation.)
+        # LongHashedRelation.)  Deliberately a PRIMITIVE long array:
+        # the r16 positional-filter experiment lifted each combo into a
+        # (hash, position) struct and was REJECTED on measurement — see
+        # the docstring's "SPILL LEGS ONLY" section.
         head_h = F.transform(F.slice("shingles", 1, upto), lambda s: F.xxhash64(s))
         return bind(
             head_h,
@@ -322,7 +367,7 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     # index-side prefix: the symmetric bound when the caller derived one
     # (ts may fall below 2 for tiny n — least() clamps the prefix back to
     # the whole array, which only adds combos), else the full array.
-    if "ts" in arr.columns:
+    if symmetric:
         idx_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 2)
     else:
         idx_upto = F.col("n")
@@ -339,6 +384,16 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_i"),
         F.explode(combo_hashes(idx_upto)).alias("combo"),
     )
+    # positional cross conjuncts for the SPILL legs (see docstring; only
+    # the cross conjuncts survive decomposition — the probe-side bounds
+    # are implied by the emission prefixes)
+    pos_ok = (F.col("rem_i") + F.lit(2)) >= F.least("t_p", "t_i")
+    if symmetric:
+        pos_ok = (
+            pos_ok
+            & ((F.col("rem_p") + F.lit(2)) >= F.col("ts_i"))
+            & ((F.col("rem_i") + F.lit(2)) >= F.col("ts_p"))
+        )
     # Both join legs are post-explode (hundreds of combos per doc), which
     # Catalyst size-estimates from the tiny pre-explode array table — left
     # alone it plans a broadcast of the probe side and OOMs at sf1.  Both
@@ -422,61 +477,86 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     # margin above; on corpora where no doc overflows the cap both legs
     # are empty scans.
     big2 = arr.filter(F.col("t") >= 2)
-    if "ts" in arr.columns:
+    if symmetric:
         idx1_upto = F.least(F.col("n"), F.col("n") - F.col("ts") + 2)
     else:
         idx1_upto = F.col("n")
 
-    def spill_key(s):
+    def spill_keys(upto):
         # 128-bit key as TWO PRIMITIVE LONG COLUMNS: xxhash64(s) plus
         # xxhash64 of s chained behind a domain literal (a different
         # function of s — Spark's multi-arg xxhash64 folds each argument
-        # into the running state).  Deliberately NOT a struct: min/max
-        # over a struct falls out of HashAggregate's fixed-width unsafe
-        # path into SortAggregate, which SORTS the entire spill-hits
-        # mass — measured OOMing the 8-thread/8g audit harness at
-        # longdocs x32/τ=0.1, the same sort-the-quadratic-intermediate
-        # death the verify join's SMJ alternative measured in r13.
-        # Component-wise longs keep the partial agg hash-based.
-        return F.struct(
-            F.xxhash64(s).alias("h1"),
-            F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
+        # into the running state).  Deliberately NOT a struct in the
+        # AGGREGATE below: min/max over a struct falls out of
+        # HashAggregate's fixed-width unsafe path into SortAggregate,
+        # which SORTS the entire spill-hits mass — measured OOMing the
+        # 8-thread/8g audit harness at longdocs x32/τ=0.1, the same
+        # sort-the-quadratic-intermediate death the verify join's SMJ
+        # alternative measured in r13.  Component-wise longs keep the
+        # partial agg hash-based.  r16: rem = n − j (j = i + 1, the
+        # shingle's 1-based position) rides along for the positional
+        # filter; it is dropped before the aggregate.
+        return F.transform(
+            F.slice("shingles", 1, upto),
+            lambda s, i: F.struct(
+                F.xxhash64(s).alias("h1"),
+                F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
+                (F.col("n") - i - F.lit(1)).cast("int").alias("rem"),
+            ),
         )
 
     def single_probe(side: DataFrame) -> DataFrame:
         return side.select(
             F.col(id_col).alias("doc_p"),
-            F.explode(
-                F.transform(
-                    F.slice("shingles", 1, F.col("n") - F.col("t") + 2),
-                    spill_key,
-                )
-            ).alias("k"),
-        ).select("doc_p", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
+            F.col("t").alias("t_p"),
+            *([F.col("ts").alias("ts_p")] if symmetric else []),
+            F.explode(spill_keys(F.col("n") - F.col("t") + 2)).alias("k"),
+        ).select(
+            "doc_p",
+            "t_p",
+            *(["ts_p"] if symmetric else []),
+            F.col("k.h1").alias("sh1"),
+            F.col("k.h2").alias("sh2"),
+            *([F.col("k.rem").alias("rem_p")] if symmetric else []),
+        )
 
     def single_index(side: DataFrame) -> DataFrame:
         return side.select(
             F.col(id_col).alias("doc_i"),
-            F.explode(
-                F.transform(F.slice("shingles", 1, idx1_upto), spill_key)
-            ).alias("k"),
-        ).select("doc_i", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
+            F.col("t").alias("t_i"),
+            *([F.col("ts").alias("ts_i")] if symmetric else []),
+            F.explode(spill_keys(idx1_upto)).alias("k"),
+        ).select(
+            "doc_i",
+            "t_i",
+            *(["ts_i"] if symmetric else []),
+            F.col("k.h1").alias("sh1"),
+            F.col("k.h2").alias("sh2"),
+            F.col("k.rem").alias("rem_i"),
+        )
 
     def pair_up(probe_df: DataFrame, index_df: DataFrame) -> DataFrame:
         # same post-explode size-misestimate hazard as the combo join:
         # force sort-merge, never broadcast an O(docs × shingles) side.
         # Joining on both longs (16-byte key) only TIGHTENS matching vs
         # the single-hash join; a real shared shingle always matches.
-        return (
+        # The positional filter (cross conjuncts only; the single-key
+        # rem bound c ≤ 2 + min(rem) keeps BOTH of a qualifying pair's
+        # two rarest-common hits, preserving the ≥2-distinct-key
+        # count) drops non-witnessing hits before the quadratic-mass
+        # partial aggregate.
+        out = (
             probe_df.hint("merge")
             .join(index_df, ["sh1", "sh2"])
             .filter(F.col("doc_p") != F.col("doc_i"))
-            .select(
-                F.least("doc_p", "doc_i").alias("doc_a"),
-                F.greatest("doc_p", "doc_i").alias("doc_b"),
-                "sh1",
-                "sh2",
-            )
+        )
+        if _SPILL_POS_FILTER:
+            out = out.filter(pos_ok)
+        return out.select(
+            F.least("doc_p", "doc_i").alias("doc_a"),
+            F.greatest("doc_p", "doc_i").alias("doc_b"),
+            "sh1",
+            "sh2",
         )
 
     spill_hits = pair_up(single_probe(spill), single_index(big2)).unionByName(
@@ -486,7 +566,7 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         # ≥ 2 distinct 128-bit keys ⟺ the group's rows are not all one
         # (sh1, sh2) value ⟺ min ≠ max on AT LEAST ONE component: four
         # primitive-long aggregates, one hash partial-agg pass, no
-        # per-group distinct set and no struct buffer (see spill_key)
+        # per-group distinct set and no struct buffer (see spill_keys)
         spill_hits.groupBy("doc_a", "doc_b")
         .agg(
             F.min("sh1").alias("k1_lo"),
@@ -675,8 +755,15 @@ def jaccard_overlap_bounds(arr: DataFrame, threshold: float) -> DataFrame:
 _ARR_SPREAD_MIN_IDX_FRAC = 0.6
 
 
-def _maybe_spread_arr(arr: DataFrame, id_col: str, ts_frac: float | None) -> DataFrame:
-    idx_frac = 1.0 if ts_frac is None else 1.0 - float(ts_frac)
+def _maybe_spread_arr(arr: DataFrame, id_col: str, tau: float | None) -> DataFrame:
+    """``tau`` is the caller's RAW similarity threshold (None for
+    asymmetric metrics, which have no symmetric bound) — NOT the
+    symmetric prefix bound ts = 2τ/(1+τ).  1 − τ approximates the
+    index-prefix fraction (exact: (n − ceil(τ·n) + 2)/n → 1 − τ for
+    large n), which is what the spread boundary tests (r15 ADVICE:
+    the old name ``ts_frac`` invited passing ts and silently shifting
+    the 0.6 boundary)."""
+    idx_frac = 1.0 if tau is None else 1.0 - float(tau)
     if idx_frac < _ARR_SPREAD_MIN_IDX_FRAC:
         return arr
     return arr.repartition(arr.sparkSession.sparkContext.defaultParallelism, id_col)

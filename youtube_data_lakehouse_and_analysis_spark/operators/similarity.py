@@ -209,6 +209,18 @@ def matmul_score_pairs(
         else np.zeros((0, 1), dtype=np.int64)
     )
     q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    # Zero-norm vectors are out of contract (quantize of real embeddings
+    # never yields all-zeros), but the expression form this kernel
+    # replaces fails LOUDLY on them (DIVIDE_BY_ZERO under ANSI) where a
+    # silent 0/0 here would mint NaN cosines that sort ABOVE every real
+    # cosine in the descending top-k window — corrupting results instead
+    # of crashing.  Preserve the fail-loud contract (r15 ADVICE).
+    if (q_norm == 0).any():
+        raise ValueError(
+            "matmul_score_pairs: zero-norm query vector (ids "
+            f"{q_ids[q_norm == 0][:5].tolist()}) — cosine is undefined; "
+            "the expression form raises DIVIDE_BY_ZERO here"
+        )
     n_q = len(qrows)
 
     def score(it):
@@ -222,6 +234,12 @@ def matmul_score_pairs(
                 C = np.stack([np.asarray(v, dtype=np.int64) for v in vecs[mask]])
                 c_ids = c_ids_all[mask]
                 c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+                if (c_norm == 0).any():  # same fail-loud contract as q_norm
+                    raise ValueError(
+                        "matmul_score_pairs: zero-norm candidate vector (ids "
+                        f"{c_ids[c_norm == 0][:5].tolist()}) — cosine is "
+                        "undefined; the expression form raises DIVIDE_BY_ZERO"
+                    )
                 cos = (C @ Q.T).astype(np.float64) / (c_norm[:, None] * q_norm[None, :])
                 n, m = cos.shape
                 yield pd.DataFrame(

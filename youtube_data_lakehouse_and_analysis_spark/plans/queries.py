@@ -119,24 +119,45 @@ def q04_project_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q05_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: groupwise max via agg + self equi-join, keeping ALL tied rows —
-    the reference's exact join form (app.py:517-526).
+    the reference's exact join semantics (app.py:517-526).
 
-    Scale: the join key is l_orderkey ALONE, with the price equality as a
-    post-join filter — joining on the composite (orderkey, price) key would
-    re-shuffle the agg side on both columns, wasting the partitioning its
-    own groupBy just produced. Single-key form: the agg output is already
-    orderkey-partitioned, so only the probe side shuffles (and AQE upgrades
-    to broadcast-hash when the group count is small enough). Measured ~15%
-    faster at sf0.1 than the composite-key join."""
-    li = load(spark, sf_dir, "lineitem")
+    Scale (r16 form, verdict item 5; guide §2.4): both branches hash
+    ONCE on the single key l_orderkey (the agg consumes its branch's
+    repartition with no further exchange; column pruning gives the agg
+    branch a narrower 2-col scan, which is why the two branch
+    exchanges stay separate rather than literally reused) and the join
+    runs co-partitioned.  The pre-r16 form let AQE broadcast the whole
+    per-order max table (O(orders) rows built on the driver —
+    impossible at 100 TB); the merge hint keeps the co-partitioned
+    sort-merge join a real cluster must run.
+
+    The tie-keeping price equality is expressed as l_extendedprice >=
+    max_price — EQUIVALENT (the group max bounds every member, so >=
+    holds iff equality holds; no NaNs in the money domain), and
+    deliberately NOT an equality: Catalyst extracts an equality above
+    the join as a composite join KEY, re-shuffling BOTH sides on
+    (normalized(price), orderkey) and silently destroying the exchange
+    reuse (measured — see tools/ab_q05_forms.py reuse vs reuse_ge).
+    Measured interleaved at sf0.1 (7 reps/arm, row-identity asserted
+    in-run, steal ≈ 0): shipped 0.946 → reuse_ge 0.607 s medians
+    (−36%; every reuse_ge rep faster than every shipped rep)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartition("l_orderkey")
+    )
     m = (
         li.groupBy("l_orderkey")
         .agg(F.max("l_extendedprice").alias("max_price"))
         .withColumnRenamed("l_orderkey", "m_orderkey")
+        .hint("merge")
     )
     return (
-        li.join(m, on=li["l_orderkey"] == m["m_orderkey"])
-        .filter(li["l_extendedprice"] == m["max_price"])
+        li.join(
+            m,
+            on=(li["l_orderkey"] == m["m_orderkey"])
+            & (li["l_extendedprice"] >= m["max_price"]),
+        )
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(F.desc("l_extendedprice"))
     )

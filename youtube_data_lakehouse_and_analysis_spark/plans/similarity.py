@@ -374,7 +374,14 @@ def _crossjoin_topk(prepared: DataFrame, vec: str, mod: int, k: int) -> DataFram
     0.61 s).  When the query set outgrows the closure-size contract the
     broadcast-crossJoin expression form still runs — same output, no
     raise: these queries' semantics are unconditional, and a corpus
-    big enough to trip the bound should be on the LSH path anyway."""
+    big enough to trip the bound should be on the LSH path anyway.
+
+    SIDE EFFECT (r15 verdict item 3): building this DataFrame runs ONE
+    bounded Spark job — the limit(MAX_BRUTE_FORCE_QUERIES+1).collect()
+    of the query rows below — before any action on the result.  Callers
+    that construct plans without executing them (plan capture, explain
+    sweeps) pay that job too.  This mirrors sim01's long-standing
+    brute_force_topk contract; the bound keeps it driver-safe."""
     if "nsq" not in prepared.columns:  # defensive: both callers attach it
         prepared = prepared.withColumn("nsq", S.int_norm_sq(F.col(vec)))
     qrows = (
