@@ -37,10 +37,16 @@ QUERY = "dd22_jaccard_pairs_strict"
 def storage_info(spark) -> dict:
     try:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        return {
-            "cached_rdds": len(infos),
-            "mem_used_mb": round(sum(i.memUsed() for i in infos) / 1e6, 1),
-        }
+        mem = 0
+        for i in infos:
+            # Spark 4 renamed RDDInfo.memUsed -> memSize
+            for attr in ("memSize", "memUsed"):
+                try:
+                    mem += getattr(i, attr)()
+                    break
+                except Exception:
+                    continue
+        return {"cached_rdds": len(infos), "mem_used_mb": round(mem / 1e6, 1)}
     except Exception as exc:  # diagnostic only — never fail the run
         return {"err": str(exc)}
 
