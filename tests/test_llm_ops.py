@@ -508,79 +508,6 @@ def test_spill_leg_combo_parity(spark, monkeypatch):
     assert {(1, 2), (1, 3)} <= exp_j and (1, 4) in exp_c and (1, 5) in exp_c
 
 
-def test_spill_positional_filter_prunes_nonwitnessing_hits(spark, monkeypatch):
-    """r16 PPJoin positional filter on the SPILL legs (Xiao et al.
-    WWW'08 §3.2): a key matched DEEP in a doc's suffix cannot witness a
-    qualifying pair (true overlap c ≤ 2 + min suffix length) and must
-    be pruned before the ≥2-distinct-key aggregate, while both of a
-    qualifying pair's two rarest-common hits survive.  Built directly
-    on _overlap_candidates with hand-ordered shingle arrays (the
-    machinery only requires SOME consistent global total order;
-    _doc_arrays' (df, shingle) ranking is the production instance) and
-    a tiny patched cap so every doc takes the spill path.  The
-    _SPILL_POS_FILTER=False arm pins that the pruned pair is exactly
-    the filter's doing (pre-r16 behavior)."""
-    monkeypatch.setattr(D, "_COMBO_MAX_PREFIX", 4)  # noqa: SLF001 — all-spill routing
-    # --- asymmetric (containment-style t only), τ = 0.9 ---------------
-    shared = ["s1", "s2"]
-    rows = [
-        # doc 1 (n=10): shared keys FIRST (rare end of the order) — they
-        # sit inside its probe prefix n − t + 2 = 3
-        (1, shared + [f"a{i}" for i in range(8)]),
-        # doc 2 (n=30): 28 rarer exclusives precede the shared keys, so
-        # the shared hits carry rem_i = 1 and 0.  True overlap 2 <
-        # required ceil(0.9·10) = 9: NOT qualifying — without the filter
-        # its 2 distinct shared keys still made (1, 2) a candidate.
-        (2, [f"b{i:02d}" for i in range(28)] + shared),
-        # docs 3/4: 9-of-10 overlap — qualifying, must stay a candidate
-        (3, [f"c{i}" for i in range(9)] + ["d3"]),
-        (4, [f"c{i}" for i in range(9)] + ["d4"]),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>").withColumn(
-        "n", F.size("shingles")
-    )
-    arr = df.withColumn(
-        "t", F.ceil(F.lit(0.9) * F.col("n") - F.lit(D._T_SLACK)).cast("int")  # noqa: SLF001
-    )
-
-    def cands_of(frame):
-        return {
-            (r["doc_a"], r["doc_b"])
-            for r in D._overlap_candidates(frame, "doc_id").collect()  # noqa: SLF001
-        }
-
-    got = cands_of(arr)
-    assert (3, 4) in got
-    assert (1, 2) not in got
-    monkeypatch.setattr(D, "_SPILL_POS_FILTER", False)  # noqa: SLF001
-    off = cands_of(arr)
-    assert (1, 2) in off and (3, 4) in off  # the filter, not routing, pruned it
-    monkeypatch.setattr(D, "_SPILL_POS_FILTER", True)  # noqa: SLF001
-    # --- symmetric (jaccard τ = 0.5): the rem_p + 2 ≥ ts_i conjunct ---
-    # doc 5 (n=10, t=7, ts=5): shared keys at its probe-prefix EDGE
-    # (positions 4/5, rem_p = 6/5); doc 6 (n=100, t=67, ts=50): shared
-    # keys at positions 51/52 (rem_i = 49/48, inside its index prefix
-    # n − ts + 2 = 52).  J = 2/108 ≪ 0.5 — not qualifying; only
-    # rem_p + 2 = 8/7 < ts_i = 50 prunes the hits (rem_i + 2 = 51/50
-    # passes both other conjuncts).
-    rows2 = [
-        (5, [f"q{i}" for i in range(3)] + ["sa", "sb"] + [f"p{i}" for i in range(5)]),
-        (6, [f"r{i:02d}" for i in range(50)] + ["sa", "sb"] + [f"z{i:02d}" for i in range(48)]),
-        (7, [f"c{i}" for i in range(9)] + ["d7"]),  # near-dup of 8: J = 9/11
-        (8, [f"c{i}" for i in range(9)] + ["d8"]),
-    ]
-    df2 = spark.createDataFrame(rows2, "doc_id long, shingles array<string>").withColumn(
-        "n", F.size("shingles")
-    )
-    arr2 = D.jaccard_overlap_bounds(df2, 0.5)
-    got2 = cands_of(arr2)
-    assert (7, 8) in got2
-    assert (5, 6) not in got2
-    monkeypatch.setattr(D, "_SPILL_POS_FILTER", False)  # noqa: SLF001
-    off2 = cands_of(arr2)
-    assert (5, 6) in off2 and (7, 8) in off2
-
-
 def test_bloom_decontaminate_no_false_negatives(spark):
     """The Bloom filter may over-flag but can never miss: per source,
     exact_hits ≤ bloom_flagged and false_positives is their difference."""

@@ -235,12 +235,6 @@ def _doc_arrays(sh: DataFrame, id_col: str) -> DataFrame:
 # indexed ALL C(n,2) combos and had to cap n itself at 256.
 _COMBO_MAX_PREFIX = 256
 
-# r16: positional (PPJoin) hit filter on the SPILL legs — see the
-# _overlap_candidates docstring for the bound and the losslessness
-# argument.  Module flag (same pattern as _ARR_SPREAD_MIN_IDX_FRAC) so
-# tools/ab tooling can flip it plan-effectively per run.
-_SPILL_POS_FILTER = True
-
 
 def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs, COMPLETE for every pair
@@ -290,40 +284,25 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     ~140k distinct shingles) emits C(140k·(1−τ), 2) ≈ 10⁸⁻¹⁰ combos —
     the exact single-giant-row hazard a 100 TB corpus will contain.
 
-    POSITIONAL filter — SPILL LEGS ONLY (r16; PPJoin, Xiao et al.
-    WWW'08 §3.2): every spill key carries ``rem`` = n − j, the suffix
-    length after its shingle's 1-based position j in the df-ranked
-    array.  A matched key can only witness a pair whose true overlap c
-    satisfies c ≤ 2 + min(rem_p, rem_i) (commons other than the key's
-    shingle — minus at most one ranking below it — all rank after it),
-    while a qualifying pair needs c ≥ least(t_p, t_i) (t of the min-n
-    side; t is monotone in n) and — symmetric metrics — c ≥
-    greatest(ts_p, ts_i).  Hits failing those bounds are dropped
-    BEFORE the quadratic-mass ≥2-distinct-key aggregate.  LOSSLESS:
-    the pair's two rarest common shingles sit at j ≤ n − c + 1 and
-    j ≤ n − c + 2 in BOTH members, so both their hits pass and the
-    ≥2-distinct-key count is preserved.  Decomposed per side, the
-    probe-side conjunct 2 + rem_p ≥ least(t_p, t_i) is implied by the
-    probe's own emission prefix (j ≤ n − t + 2 ⇒ rem_p ≥ t_p − 2), as
-    are 2 + rem_p ≥ ts_p and 2 + rem_i ≥ ts_i — so only the cross
-    conjuncts are evaluated: 2 + rem_i ≥ least(t_p, t_i), plus
-    2 + rem_p ≥ ts_i and 2 + rem_i ≥ ts_p when a symmetric bound
-    exists.  Collisions still only ADD candidates (the filter never
-    consults hash values), and the verify stage stays exact.  The
-    spill keys were ALREADY emitted as structs (the 128-bit h1/h2
-    pair), so ``rem`` is one int field in an existing struct — free on
-    corpora where the legs are empty scans (every driver tier).
-
-    The SAME filter on the COMBO leg was measured and REJECTED (r16):
-    it requires replacing the combo leg's primitive long-array
-    emission with array<struct> plus per-row t/ts/rem join columns,
-    and at sf0.1 it removes only 1.7% of combo-join match rows
-    (513 715 → 505 187; distinct candidates 51 478 → 44 319) while
-    dd18's wall went 2.9 → ≥4.4 s — matches concentrate on the RARE
-    (early-position) shingles by construction of the df-ranked
-    prefixes, so deep-suffix matches are the exception, and the
-    emission/sort cost lands on every one of the ~12.6M emitted combo
-    rows.  See OPTIMIZATION_r16.md and tools/cand_volume.py."""
+    POSITIONAL (PPJoin, Xiao et al. WWW'08 §3.2) filtering was
+    implemented on BOTH leg families in r16, MEASURED, and REJECTED —
+    recorded here so it is not re-attempted without new evidence.  The
+    bound is sound and lossless (a key matched at 1-based position j
+    can only witness a pair with true overlap c ≤ 2 + min(n−j) across
+    the two sides, while a qualifying pair's two rarest common
+    shingles sit at j ≤ n−c+1 / n−c+2 in BOTH members, so their
+    matches always survive), but on df-ranked prefixes it prunes
+    almost nothing: matches concentrate on the RARE (early-position)
+    shingles by construction, so deep-suffix matches are the
+    exception.  Measured: combo leg at sf0.1 — 1.7% of match rows
+    removed (513 715 → 505 187) for the cost of lifting the primitive
+    long-array emission into array<struct> plus t/ts/rem join columns
+    on ~12.6M emitted rows; dd18 wall 2.9 → ≥4.4 s.  Spill legs at
+    longdocs x8/x16 (4 583/9 155 spilling docs, containment τ=0.3) —
+    0.8%/1.0% of hit mass removed, wall flat at x8 and ~+15% at x16
+    from the widened rows, output pair-identical.  See
+    OPTIMIZATION_r16.md and tools/cand_volume.py for the full
+    numbers."""
     symmetric = "ts" in arr.columns
 
     def combo_hashes(upto):
@@ -349,7 +328,7 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         # LongHashedRelation.)  Deliberately a PRIMITIVE long array:
         # the r16 positional-filter experiment lifted each combo into a
         # (hash, position) struct and was REJECTED on measurement — see
-        # the docstring's "SPILL LEGS ONLY" section.
+        # the docstring's positional-filtering record.
         head_h = F.transform(F.slice("shingles", 1, upto), lambda s: F.xxhash64(s))
         return bind(
             head_h,
@@ -384,16 +363,6 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_i"),
         F.explode(combo_hashes(idx_upto)).alias("combo"),
     )
-    # positional cross conjuncts for the SPILL legs (see docstring; only
-    # the cross conjuncts survive decomposition — the probe-side bounds
-    # are implied by the emission prefixes)
-    pos_ok = (F.col("rem_i") + F.lit(2)) >= F.least("t_p", "t_i")
-    if symmetric:
-        pos_ok = (
-            pos_ok
-            & ((F.col("rem_p") + F.lit(2)) >= F.col("ts_i"))
-            & ((F.col("rem_i") + F.lit(2)) >= F.col("ts_p"))
-        )
     # Both join legs are post-explode (hundreds of combos per doc), which
     # Catalyst size-estimates from the tiny pre-explode array table — left
     # alone it plans a broadcast of the probe side and OOMs at sf1.  Both
@@ -482,7 +451,7 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
     else:
         idx1_upto = F.col("n")
 
-    def spill_keys(upto):
+    def spill_key(s):
         # 128-bit key as TWO PRIMITIVE LONG COLUMNS: xxhash64(s) plus
         # xxhash64 of s chained behind a domain literal (a different
         # function of s — Spark's multi-arg xxhash64 folds each argument
@@ -493,70 +462,46 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         # 8-thread/8g audit harness at longdocs x32/τ=0.1, the same
         # sort-the-quadratic-intermediate death the verify join's SMJ
         # alternative measured in r13.  Component-wise longs keep the
-        # partial agg hash-based.  r16: rem = n − j (j = i + 1, the
-        # shingle's 1-based position) rides along for the positional
-        # filter; it is dropped before the aggregate.
-        return F.transform(
-            F.slice("shingles", 1, upto),
-            lambda s, i: F.struct(
-                F.xxhash64(s).alias("h1"),
-                F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
-                (F.col("n") - i - F.lit(1)).cast("int").alias("rem"),
-            ),
+        # partial agg hash-based.
+        return F.struct(
+            F.xxhash64(s).alias("h1"),
+            F.xxhash64(F.lit("spill-k2"), s).alias("h2"),
         )
 
     def single_probe(side: DataFrame) -> DataFrame:
         return side.select(
             F.col(id_col).alias("doc_p"),
-            F.col("t").alias("t_p"),
-            *([F.col("ts").alias("ts_p")] if symmetric else []),
-            F.explode(spill_keys(F.col("n") - F.col("t") + 2)).alias("k"),
-        ).select(
-            "doc_p",
-            "t_p",
-            *(["ts_p"] if symmetric else []),
-            F.col("k.h1").alias("sh1"),
-            F.col("k.h2").alias("sh2"),
-            *([F.col("k.rem").alias("rem_p")] if symmetric else []),
-        )
+            F.explode(
+                F.transform(
+                    F.slice("shingles", 1, F.col("n") - F.col("t") + 2),
+                    spill_key,
+                )
+            ).alias("k"),
+        ).select("doc_p", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
 
     def single_index(side: DataFrame) -> DataFrame:
         return side.select(
             F.col(id_col).alias("doc_i"),
-            F.col("t").alias("t_i"),
-            *([F.col("ts").alias("ts_i")] if symmetric else []),
-            F.explode(spill_keys(idx1_upto)).alias("k"),
-        ).select(
-            "doc_i",
-            "t_i",
-            *(["ts_i"] if symmetric else []),
-            F.col("k.h1").alias("sh1"),
-            F.col("k.h2").alias("sh2"),
-            F.col("k.rem").alias("rem_i"),
-        )
+            F.explode(
+                F.transform(F.slice("shingles", 1, idx1_upto), spill_key)
+            ).alias("k"),
+        ).select("doc_i", F.col("k.h1").alias("sh1"), F.col("k.h2").alias("sh2"))
 
     def pair_up(probe_df: DataFrame, index_df: DataFrame) -> DataFrame:
         # same post-explode size-misestimate hazard as the combo join:
         # force sort-merge, never broadcast an O(docs × shingles) side.
         # Joining on both longs (16-byte key) only TIGHTENS matching vs
         # the single-hash join; a real shared shingle always matches.
-        # The positional filter (cross conjuncts only; the single-key
-        # rem bound c ≤ 2 + min(rem) keeps BOTH of a qualifying pair's
-        # two rarest-common hits, preserving the ≥2-distinct-key
-        # count) drops non-witnessing hits before the quadratic-mass
-        # partial aggregate.
-        out = (
+        return (
             probe_df.hint("merge")
             .join(index_df, ["sh1", "sh2"])
             .filter(F.col("doc_p") != F.col("doc_i"))
-        )
-        if _SPILL_POS_FILTER:
-            out = out.filter(pos_ok)
-        return out.select(
-            F.least("doc_p", "doc_i").alias("doc_a"),
-            F.greatest("doc_p", "doc_i").alias("doc_b"),
-            "sh1",
-            "sh2",
+            .select(
+                F.least("doc_p", "doc_i").alias("doc_a"),
+                F.greatest("doc_p", "doc_i").alias("doc_b"),
+                "sh1",
+                "sh2",
+            )
         )
 
     spill_hits = pair_up(single_probe(spill), single_index(big2)).unionByName(
@@ -566,7 +511,7 @@ def _overlap_candidates(arr: DataFrame, id_col: str) -> DataFrame:
         # ≥ 2 distinct 128-bit keys ⟺ the group's rows are not all one
         # (sh1, sh2) value ⟺ min ≠ max on AT LEAST ONE component: four
         # primitive-long aggregates, one hash partial-agg pass, no
-        # per-group distinct set and no struct buffer (see spill_keys)
+        # per-group distinct set and no struct buffer (see spill_key)
         spill_hits.groupBy("doc_a", "doc_b")
         .agg(
             F.min("sh1").alias("k1_lo"),
