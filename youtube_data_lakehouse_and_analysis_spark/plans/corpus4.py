@@ -100,8 +100,23 @@ def dd17_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (128 MB covers 10⁹ grams at ~1% fp), shippable in every task closure.
     Probing is map-side; only the per-(doc, gram) seed-hit count
     aggregates, and it collapses in partial agg. Here the bit set is a
-    one-column broadcast-semi-join (≤ m rows) — the literal-bitmap
-    closure variant is the same plan minus the join."""
+    one-column broadcast-semi-join (≤ m rows).
+
+    The literal-bitmap closure variant (pack the bit set into an
+    array<bigint> literal at plan-build time, test k positions per gram
+    map-side) was implemented in r16, MEASURED, and REJECTED — recorded
+    here so it is not re-attempted without new evidence.  Two shapes
+    both lost to this join form at sf0.1 (old 1.37–1.53 s): bind()-per
+    -position 3.03 s (the transform() binder drops the predicate out of
+    WholeStageCodegen into interpreted eval), and a codegen-friendly
+    5×(project, filter) chain 4.16 s — bisected to ~0.5–1.0 s per seed
+    of element_at() on the 1024-long literal array (boxed
+    GenericArrayData access per row) plus per-operator row copies
+    through the widening project chain.  The broadcast hash relation IS
+    the engine-native bitmap: its probe is codegen'd and cheaper than
+    any literal-array indexing expressible today, and the k_hit
+    aggregate it requires is partial-agg collapsible.  See
+    OPTIMIZATION_r16.md."""
     docs = load(spark, sf_dir, "documents")
     seeds = F.array(*[F.lit(s) for s in range(_BLOOM_K)])
 

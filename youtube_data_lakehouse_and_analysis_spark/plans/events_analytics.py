@@ -600,10 +600,22 @@ def ev12_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     days = au.select("day").distinct()
     dau = au.groupBy("day").agg(F.count("*").alias("dau"))
-    a = au.select(F.col("day").alias("aday"), "user_id")
+    # WAU via bounded explode (r16): a user-day belongs to exactly the 7
+    # trailing windows ending on days day..day+6, so emit those 7 rows
+    # map-side and aggregate — replacing the BroadcastNestedLoopJoin that
+    # range-joined user-days against the day grid and evaluated every
+    # grid day's predicate per user-day (O(|user-days| × |days|) compute:
+    # ~52× wasted comparisons per row at one year of history, growing
+    # with retention; the explode is O(7·|user-days|) at any scale).
+    # Window days with no activity of their own are emitted here but
+    # drop out in the inner join on the day grid below — exactly the
+    # domain the grid side of the range join enforced, so the output is
+    # row-identical.
     wau = (
-        F.broadcast(days)
-        .join(a, (F.col("aday") >= F.date_sub(F.col("day"), 6)) & (F.col("aday") <= F.col("day")))
+        au.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+            "user_id",
+        )
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )

@@ -214,7 +214,15 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
-        # consumed three times: both wedge legs + the closing probe
+        # consumed three times: both wedge legs + the closing probe.
+        # Pre-partitioning this materialization on the wedge pivot src
+        # (so the self-join legs read co-partitioned rows, guide §2.4)
+        # was tried in r16 and REJECTED: under AQE a localCheckpoint's
+        # LogicalRDD reports UnknownPartitioning(0) — eager or lazy —
+        # so both wedge-leg Exchanges survive and the repartition is a
+        # pure extra shuffle (interleaved A/B ×7 measured flat,
+        # 1.865 vs 1.888 s median).  Revisit only if Spark starts
+        # propagating AQE-final partitioning through checkpoints.
         .transform(checkpoint)
     )
     o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
