@@ -715,8 +715,8 @@ def test_ia03_checkpointed_index(spark):
 
 
 def test_sim14_single_pass_no_joins(spark):
-    """Index-balance eval: two projections of one embeddings scan plus
-    combine-friendly aggs — no join of any kind."""
+    """Index-balance eval: one embeddings scan unpivoted via stack(2, ...)
+    plus combine-friendly aggs — no join of any kind."""
     plan = plan_of(spark, "sim14_index_balance")
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop"):
         assert j not in plan

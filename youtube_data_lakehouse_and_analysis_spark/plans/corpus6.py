@@ -888,7 +888,8 @@ def sk04_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: sketches are K=32 hashes per side regardless of order
     volume, so the A-NOT-B combine is trivial at any scale; the exact
-    legs (full-outer distinct join) exist only for the eval.
+    legs (one side-flags aggregate over custkeys) exist only for the
+    eval.
     Determinism: integer hashes, LEAST/MAX over integers, one double
     chain per estimate."""
     from ..functions.text import md5_prefix_long
@@ -921,19 +922,23 @@ def sk04_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     anb = retained(ska, skb)
     bna = retained(skb, ska)
-    ua = o.filter(F.col("side") == _SK04_YA).select("o_custkey").distinct()
-    ub = (
-        o.filter(F.col("side") == _SK04_YB)
-        .select(F.col("o_custkey").alias("custkey_b"))
-        .distinct()
+    # Exact legs fused (r16): ONE side-flags aggregate — groupBy custkey
+    # with boolean in_a/in_b MAX flags, then a 1-row count — replacing
+    # the ua.distinct + ub.distinct + full_outer sort-merge join (two
+    # extra orders scans + two distinct shuffles + the join).  sk02's
+    # exact leg already uses this single-aggregate style; a custkey is
+    # counted in n_a_not_b iff it appears with side YA and never YB,
+    # exactly the full_outer null-pattern the old form counted (on
+    # distinct inputs countDistinct degenerated to count).  Measured
+    # interleaved ×7 at sf0.1, steal ≤0.43% (tools/ab_r16_pass3.py):
+    # 0.879 → 0.609 s median (−31%), row-identical in-run.
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.col("side") == _SK04_YA).alias("in_a"),
+        F.max(F.col("side") == _SK04_YB).alias("in_b"),
     )
-    exact = ua.join(ub, ua["o_custkey"] == ub["custkey_b"], "full_outer").agg(
-        F.countDistinct(
-            F.when(F.col("o_custkey").isNotNull() & F.col("custkey_b").isNull(), F.col("o_custkey"))
-        ).alias("n_a_not_b"),
-        F.countDistinct(
-            F.when(F.col("custkey_b").isNotNull() & F.col("o_custkey").isNull(), F.col("custkey_b"))
-        ).alias("n_b_not_a"),
+    exact = flags.agg(
+        F.count(F.when(F.col("in_a") & ~F.col("in_b"), True)).alias("n_a_not_b"),
+        F.count(F.when(F.col("in_b") & ~F.col("in_a"), True)).alias("n_b_not_a"),
     )
     est = lambda r: (  # noqa: E731 — one double chain, literal scale
         F.col(r).cast("double") * F.lit(float(1 << 60)) / F.col("th").cast("double")

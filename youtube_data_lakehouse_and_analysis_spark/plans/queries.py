@@ -172,18 +172,36 @@ def q05_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORDER BY l_extendedprice DESC""",
 )
 def q05_groupwise_max_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5, idiomatic-Spark form: rank() window (rank, not row_number, to keep
-    all tied rows — app.py:519-525 tie semantics, SURVEY.md §7).
+    """Q5, idiomatic-Spark window form: unbounded MAX over the group and
+    keep rows at the max — identical tied-row semantics to the rank()==1
+    form it replaces (rank 1 ⟺ price equals the group max; no null
+    prices in the money domain — app.py:519-525 tie semantics,
+    SURVEY.md §7).
 
-    Scale: one shuffle on l_orderkey, no join; preferred at 100 TB over the
-    self-join form (half the scans)."""
-    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"))
+    Scale: one shuffle on l_orderkey, no join; preferred at 100 TB over
+    the self-join form (half the scans).  The unordered window needs its
+    input sorted only on the partition key, so BOTH full-table sorts
+    (map side before the old partial WindowGroupLimit, reduce side ahead
+    of WindowExec) drop from (l_orderkey, l_extendedprice DESC) to
+    (l_orderkey).  Trade-off made deliberately: the rank() form's
+    WindowGroupLimit pre-filters the exchange map-side, but with ~4
+    lineitems per order scattered across every scan partition nearly all
+    groups have ≤1 row per map partition, so the pre-filter removes
+    almost nothing at ANY scale for this data shape (measured at sf0.1:
+    561,713 of 600,000 rows survive the per-(scan-partition, orderkey)
+    max filter — a 6% reduction) while every row still pays the extra
+    sort key twice.  (On data with many rows per
+    group per partition the rank form's smaller shuffle would win —
+    that is a different table shape.)  Measured interleaved ×7 at
+    sf0.1, steal ≤0.07% (tools/ab_r16_pass3.py): 0.447 → 0.371 s median
+    (−17%), row-identical in-run."""
+    w = Window.partitionBy("l_orderkey")
     return (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .withColumn("mx", F.max("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("mx"))
+        .drop("mx")
         .orderBy(F.desc("l_extendedprice"))
     )
 
