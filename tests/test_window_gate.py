@@ -56,6 +56,12 @@ WHITELIST = {
     "po01_mom_growth": "lag over one-row-per-month rollup (bounded by calendar)",
     "w13_gini_concentration": "prefix sums over the whole-dollar spend histogram (domain-bounded)",
     "ta20_merge_apply": "row_number over the top-_N_MERGES merge list (8 rows)",
+    "sk02_kmv_set_ops": (
+        "union-sketch merge window over the DISTINCT union of the two "
+        "K=32-row side sketches (<= 2K rows by construction; r16 moved "
+        "the merge off uh = h.distinct() onto the checkpointed side "
+        "sketches, so the window now sits outside the checkpoint)"
+    ),
     "sim11_pq_topk": "rank over per-query limit(K) candidate set (bounded by K)",
     "sim12_ivfpq_topk": "rank over per-query limit(K) candidate set (bounded by K)",
     "sim13_pq_recall": "rank over sampled-truth limit(K) sets (bounded by K)",
@@ -71,11 +77,10 @@ WHITELIST = {
 # so test_whitelist_has_no_stale_entries can assert each one is visible
 # ONLY under the no-checkpoint flag (i.e. the entry documents a window
 # inside a truncated leg, not a plain global window).
-CHECKPOINTED_LEG_WHITELIST = {
-    "sk02_kmv_set_ops": (
-        "two-phase top-K union sketch (_topk_smallest): the only global "
-        "window runs over the <= K x n_partitions per-partition heads"
-    ),
+CHECKPOINTED_LEG_WHITELIST: dict[str, str] = {
+    # (empty since r16: sk02's union-sketch merge window moved OUTSIDE
+    # the checkpoint when the merge was re-based onto the side sketches
+    # — its entry lives in WHITELIST now)
 }
 
 

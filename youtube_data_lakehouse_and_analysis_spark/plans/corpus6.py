@@ -660,7 +660,9 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select(
         "event_type", md5_prefix_long(F.col("user_id").cast("string"), 15).alias("h")
     ).distinct()
-    sk = _topk_smallest(h, ["event_type"], _KMV_K)
+    sk = _topk_smallest(h, ["event_type"], _KMV_K).transform(
+        checkpoint  # feeds stats AND the merged union sketch below
+    )
     est_expr = (
         f"CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE) "
         f"ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END"
@@ -670,15 +672,20 @@ def sk02_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.max("h").alias("hk"))
         .select("event_type", F.expr(est_expr).alias("est"), "cnt")
     )
-    uh = h.select("h").distinct()
-    usk = (
-        _topk_smallest(uh, [], _KMV_K)
-        .select("h")
-        .transform(checkpoint)  # feeds ustats, common, and the cap
-    )
-    ustats = uh.join(usk, "h", "left_semi").agg(
-        F.count("*").alias("cnt"), F.max("h").alias("hk")
-    )
+    # Union sketch MERGED from the side sketches (r16): the K smallest
+    # distinct hashes of A ∪ B are exactly the K smallest distinct of
+    # top-K(A) ∪ top-K(B) — any union-sketch member is within the K
+    # smallest of its own side, so it survives into sk.  This is the KMV
+    # merge property tests/test_sketch_merge.py pins, applied to the
+    # query itself: the pre-r16 form recomputed the union sketch from
+    # uh = h.distinct() (a SECOND full distinct shuffle over every user
+    # hash plus a global two-phase top-K window over it), and its
+    # ustats semi-join uh ⋉ usk was an identity (usk ⊆ uh), so cnt/hk
+    # read directly off the merged sketch are value-identical.  Measured
+    # interleaved ×7 at sf0.1 (tools/ab_r16_pass4.py): 1.141 → 0.973 s
+    # median (−15%), row-identical in-run.
+    usk = _topk_smallest(sk.select("h").distinct(), [], _KMV_K).select("h")
+    ustats = usk.agg(F.count("*").alias("cnt"), F.max("h").alias("hk"))
     ha = h.filter(F.col("event_type") == _KMV_A).select("h")
     hb = h.filter(F.col("event_type") == _KMV_B).select("h")
     common = (

@@ -562,20 +562,35 @@ def dq04_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a08's min/max stats.  DOUBLE columns are excluded by design:
     float→string rendering is engine-specific.
 
-    Scale: one scan + one (col_name)-keyed exchange; the distinct count
-    is exact per column (the profiler contract) — at 100 TB swap
-    approx_count_distinct per column (a03's trade) or sk01's mergeable
-    registers."""
+    Scale: one scan + a two-level aggregate (r16) — first a
+    combine-friendly count per (col_name, v), then the per-column
+    rollup, where n_rows = Σ counts, n_null = Σ counts of null groups,
+    n_distinct = count of non-null groups (countDistinct's exact
+    semantics) and min/max over group keys equal min/max over values.
+    The pre-r16 single mixed countDistinct aggregate planned as a
+    SortAggregate chain that SORTS every stacked row on (col_name, v)
+    ahead of the exchange (plans/r16/dq04_column_profile_before.txt:3-12);
+    the two-level form hash-aggregates map-side and shuffles one row per
+    DISTINCT (col, v) instead, leaving only the bounded per-column
+    rollup to sort-aggregate.  Measured
+    interleaved ×7 at sf0.1, steal ≤0.81% (tools/ab_r16_pass4.py):
+    0.505 → 0.354 s median (−30%), row-identical in-run.  The distinct
+    count stays exact per column (the profiler contract) — at 100 TB
+    swap approx_count_distinct per column (a03's trade) or sk01's
+    mergeable registers."""
     legs = ", ".join(
         f"'{c}', {e.format(S='STRING')}" for c, e in _DQ04_COLS
     )
     long = load(spark, sf_dir, "orders").select(
         F.expr(f"stack({len(_DQ04_COLS)}, {legs}) AS (col_name, v)")
     )
-    return long.groupBy("col_name").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.countDistinct("v").alias("n_distinct"),
+    grp = long.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
+    return grp.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_null"
+        ),
+        F.count(F.when(F.col("v").isNotNull(), True)).alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
     )
